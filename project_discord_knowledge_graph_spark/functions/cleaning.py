@@ -1,0 +1,61 @@
+"""Text cleaners P3/P4 — byte-parity with Python `re` semantics.
+
+Two deliberately *different* cleaners exist in the reference and must
+never be unified (SURVEY.md section 7):
+
+- P3 `clean_text_preprocessor` (preprocessor.py:119-138): lowercase,
+  collapse >=3 newlines to 2, collapse spaces/tabs, strip, rewrite
+  Discord markup to readable tokens (@user1, #channel1, @role1, :emoji:).
+- P4 `clean_text_classifier` (classifier.py:65-104): lowercase,
+  collapse ALL whitespace to single spaces, strip, rewrite markup to
+  [mention]/[channel]/[emoji] placeholders.
+
+BASELINE requires byte-identical cleaned text per row vs the
+reference, so both are Arrow-batched pandas UDFs running the exact
+Python-`re` substitutions, vectorized over `pd.Series` (the reference
+itself vectorizes this way in classifier.clean_texts_batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def clean_preprocessor_series(s: pd.Series) -> pd.Series:
+    s = s.fillna("").str.lower()
+    s = s.str.replace(r"\n\s*\n\s*\n+", "\n\n", regex=True)
+    s = s.str.replace(r"[ \t]+", " ", regex=True)
+    s = s.str.strip()
+    s = s.str.replace(r"<@!?(\d+)>", r"@user\1", regex=True)
+    s = s.str.replace(r"<#(\d+)>", r"#channel\1", regex=True)
+    s = s.str.replace(r"<@&(\d+)>", r"@role\1", regex=True)
+    s = s.str.replace(r"<:(\w+):\d+>", r":\1:", regex=True)
+    return s
+
+
+def clean_classifier_series(s: pd.Series) -> pd.Series:
+    s = s.fillna("").str.lower()
+    s = s.str.replace(r"\s+", " ", regex=True)
+    s = s.str.strip()
+    s = s.str.replace(r"<@!?\d+>", "[mention]", regex=True)
+    s = s.str.replace(r"<#\d+>", "[channel]", regex=True)
+    s = s.str.replace(r"<:\w+:\d+>", "[emoji]", regex=True)
+    return s
+
+
+@F.pandas_udf(StringType())
+def clean_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """P3 preprocessor cleaner (the pipeline's clean_text)."""
+    for s in batches:
+        yield clean_preprocessor_series(s)
+
+
+@F.pandas_udf(StringType())
+def clean_text_classifier_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """P4 classifier cleaner (kept separate on purpose)."""
+    for s in batches:
+        yield clean_classifier_series(s)

@@ -1,0 +1,72 @@
+"""A8 keep-first dedup + P7 validation for triples.
+
+The reference dedups with a Python insertion-ordered hash set
+(llm_powered/nodes.py:650-664) — an order that does not exist under
+parallelism.  We replace it with an explicit, documented total order:
+(stage_priority, message_id, predicate, object), where stage_priority
+encodes the reference's encounter order (per-type extraction first,
+then reply links, then mention links, then semantic links —
+extractor.py:569-592).  message_id is zero-padded in the synthetic
+corpus so lexicographic order == arrival order.
+
+Validation (nodes.py:667-691): non-empty s/p/o, confidence clamped to
+[0,1] else 0.5, fields stripped, objects shorter than 2 chars dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_PYSTRIP = r"^\s+|\s+$"
+
+
+def dedup_key(subject, predicate, obj):
+    """lower(f"{s}|{p}|{o}").strip() — nodes.py:660."""
+    return F.regexp_replace(
+        F.lower(F.concat_ws("|", subject, predicate, obj)), _PYSTRIP, "")
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """Keep-first by normalized (s,p,o) key under the explicit order.
+
+    This is the one unavoidable shuffle of the extraction pipeline —
+    hash-partitioned on the dedup key, so it also balances output.
+    """
+    w = Window.partitionBy("_key").orderBy(
+        "stage_priority", "message_id", "predicate", "object")
+    return (
+        triples
+        .withColumn("_key", dedup_key(F.col("subject"), F.col("predicate"),
+                                      F.col("object")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_key", "_rn")
+    )
+
+
+def validate_triples(triples: DataFrame, min_object_len: int = 2
+                     ) -> DataFrame:
+    """P7 (nodes.py:667-691), applied after dedup as in the reference."""
+    strip = lambda c: F.regexp_replace(c, _PYSTRIP, "")  # noqa: E731
+    return (
+        triples
+        .where((F.col("subject") != "") & (F.col("predicate") != "")
+               & (F.col("object") != ""))
+        .withColumn("subject", strip(F.col("subject")))
+        .withColumn("predicate", strip(F.col("predicate")))
+        .withColumn("object", strip(F.col("object")))
+        .withColumn(
+            "confidence",
+            F.when((F.col("confidence") >= 0.0)
+                   & (F.col("confidence") <= 1.0), F.col("confidence"))
+             .otherwise(F.lit(0.5)))
+        .where(F.length("object") >= min_object_len)
+    )
+
+
+def aggregate_triples(*triple_dfs: DataFrame) -> DataFrame:
+    """E11: union -> dedup -> validate (nodes.py:636-739)."""
+    out = triple_dfs[0]
+    for df in triple_dfs[1:]:
+        out = out.unionByName(df)
+    return validate_triples(dedup_triples(out)).drop("stage_priority")

@@ -1,0 +1,194 @@
+"""E1-E9: per-type triple extraction as ONE native projection pass.
+
+The reference dispatches each message to a type-specific Python
+extractor (rule_based/extractor.py:553-584) and loops rows at ~100
+msg/s.  Here the eight strategies compile into a single Catalyst
+expression that builds an `array<struct<predicate,object,confidence>>`
+per message and explodes it — one scan, zero shuffles, fully inside
+whole-stage codegen.  At 100 TB this matters: eight filtered branches
+unioned would scan the input eight times; this does it once.
+
+Exact object/confidence semantics per strategy are cited inline; all
+regex dialect choices validated against the oracle port in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .. import config as C
+
+TRIPLE_COLS = ("subject", "predicate", "object", "message_id",
+               "segment_id", "timestamp", "confidence")
+
+_EMPTY = "array<struct<predicate:string,object:string,confidence:double>>"
+
+
+def _ci(p: str) -> str:
+    return "(?i)" + p
+
+
+def _t(pred: str, obj: Column, conf: float) -> Column:
+    return F.struct(F.lit(pred).alias("predicate"), obj.alias("object"),
+                    F.lit(conf).alias("confidence"))
+
+
+def _trunc(col: Column, n: int) -> Column:
+    """content[:n] + '...' if len > n (extractor.py:100-105 et al.)."""
+    return F.when(F.length(col) > n,
+                  F.concat(F.substring(col, 1, n), F.lit("..."))
+                  ).otherwise(col)
+
+
+def _pystrip(col: Column) -> Column:
+    """Python str.strip() equivalent (leading/trailing whitespace)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def assets_expr(content: Column) -> Column:
+    """Distinct upper-cased asset hits, sorted (extractor.py:369-375;
+    the reference's set() order is nondeterministic — parity is on the
+    triple set, so a sorted order is a valid total order)."""
+    hits = F.concat(*[
+        F.regexp_extract_all(content, F.lit(_ci(C.ASSET_PATTERNS[k])), 1)
+        for k in ("crypto", "etf", "stock")
+    ])
+    return F.array_sort(F.array_distinct(F.transform(hits, F.upper)))
+
+
+def actions_expr(content: Column) -> Column:
+    """Matched actions in dict order buy, sell, hold
+    (extractor.py:377-383)."""
+    parts = [
+        F.when(content.rlike(_ci(C.ACTION_PATTERNS[a])),
+               F.array(F.lit(a))).otherwise(F.array().cast("array<string>"))
+        for a in C.ACTION_ORDER
+    ]
+    return F.concat(*parts)
+
+
+def triples_array_expr(content: Column, msg_type: Column) -> Column:
+    """The full E1-E8 dispatch as one expression over clean_text."""
+    empty = F.array().cast(_EMPTY)
+
+    # E1 question -> asks_about (extractor.py:81-118)
+    topic = _pystrip(F.regexp_replace(content,
+                                      _ci(C.QUESTION_TOPIC_STRIP), ""))
+    topic = F.when(F.length(topic) > C.TRUNC_TOPIC,
+                   F.concat(F.substring(topic, 1, C.TRUNC_TOPIC),
+                            F.lit("..."))).otherwise(topic)
+    q_obj = F.when(topic == "", _trunc(content, C.TRUNC_SNIPPET)) \
+             .otherwise(topic)
+    q_arr = F.array(_t("asks_about", q_obj, C.CONF_ASKS_ABOUT))
+
+    # E2 answer -> provides_info (extractor.py:120-144)
+    a_arr = F.array(_t("provides_info", _trunc(content, C.TRUNC_SNIPPET),
+                       C.CONF_PROVIDES_INFO))
+
+    # E3 alert -> alerts (extractor.py:146-176)
+    al_arr = F.array(_t(
+        "alerts",
+        F.concat(F.lit("all_members about "),
+                 _trunc(content, C.TRUNC_SNIPPET)),
+        C.CONF_ALERTS))
+
+    # E4 strategy -> recommends / discusses_strategy (extractor.py:178-213)
+    strat_hits = F.regexp_extract_all(content, F.lit(_ci(C.STRATEGY_PATTERN)),
+                                      1)
+    strat_arr = F.transform(
+        strat_hits,
+        lambda s: _t("recommends", F.concat(F.lower(s), F.lit(" strategy")),
+                     C.CONF_RECOMMENDS))
+    strat_fb = F.when(
+        F.size(strat_hits) == 0,
+        F.array(_t("discusses_strategy", _trunc(content, C.TRUNC_STRATEGY),
+                   C.CONF_DISCUSSES_STRATEGY))).otherwise(empty)
+    st_arr = F.concat(strat_arr, strat_fb)
+
+    # E5 signal -> recommends_{buy,sell,hold} x assets / mentions_asset
+    # (extractor.py:215-254)
+    assets = assets_expr(content)
+    actions = actions_expr(content)
+    cross = F.flatten(F.transform(
+        assets,
+        lambda asset: F.transform(
+            actions,
+            lambda act: F.struct(
+                F.concat(F.lit("recommends_"), act).alias("predicate"),
+                asset.alias("object"),
+                F.lit(C.CONF_SIGNAL).alias("confidence")))))
+    mentions_only = F.transform(
+        assets, lambda asset: _t("mentions_asset", asset,
+                                 C.CONF_MENTIONS_ASSET))
+    sig_arr = F.when(F.size(actions) > 0, cross).otherwise(mentions_only)
+
+    # E6 performance -> reports_return (extractor.py:256-281)
+    pcts = F.regexp_extract_all(content, F.lit(C.PERFORMANCE_PATTERN), 1)
+    perf_obj = lambda p: F.when(  # noqa: E731
+        p.startswith("-"), F.concat(p, F.lit("% loss on strategy"))
+    ).otherwise(F.concat(F.lit("+"), p, F.lit("% on strategy")))
+    perf_arr = F.when(
+        content.rlike(_ci(C.RETURN_KEYWORDS)),
+        F.transform(pcts, lambda p: _t("reports_return", perf_obj(p),
+                                       C.CONF_REPORTS_RETURN))
+    ).otherwise(empty)
+
+    # E7 analysis -> analyzes / provides_analysis (extractor.py:283-328)
+    an_arr = F.when(
+        F.size(assets) > 0,
+        F.transform(assets,
+                    lambda a: _t("analyzes", F.concat(a, F.lit(" outlook")),
+                                 C.CONF_ANALYZES))
+    ).otherwise(F.array(_t("provides_analysis",
+                           _trunc(content, C.TRUNC_SNIPPET),
+                           C.CONF_PROVIDES_ANALYSIS)))
+
+    # E8 discussion -> discusses / shares_opinion (extractor.py:330-367)
+    plat_hits = F.regexp_extract_all(content, F.lit(_ci(C.PLATFORM_PATTERN)),
+                                     1)
+    disc_arr = F.concat(
+        F.transform(plat_hits,
+                    lambda p: _t("discusses", F.lower(p), C.CONF_DISCUSSES)),
+        F.transform(assets,
+                    lambda a: _t("shares_opinion", F.concat(F.lit("on "), a),
+                                 C.CONF_SHARES_OPINION)))
+
+    # E9 dispatch by classified type (extractor.py:553-584).  Inside a
+    # dispatched branch the reference's own `or type == ...` trigger is
+    # always true for question/alert/analysis, so the trigger regexes
+    # collapse away for those types.
+    return (
+        F.when(msg_type == "question", q_arr)
+        .when(msg_type == "answer", a_arr)
+        .when(msg_type == "alert", al_arr)
+        .when(msg_type == "strategy", st_arr)
+        .when(msg_type == "signal", sig_arr)
+        .when(msg_type == "performance", perf_arr)
+        .when(msg_type == "analysis", an_arr)
+        .when(msg_type == "discussion", disc_arr)
+        .otherwise(empty)
+    )
+
+
+def extract_triples(messages: DataFrame,
+                    content_col: str = "clean_text") -> DataFrame:
+    """Stage: classified messages -> triples (exploded, one pass).
+
+    Output: subject predicate object message_id segment_id timestamp
+    confidence + stage_priority (for deterministic dedup ordering).
+    """
+    arr = triples_array_expr(F.col(content_col), F.col("type"))
+    return (
+        messages
+        .select(
+            F.col("author"), F.col("message_id"), F.col("segment_id"),
+            F.col("timestamp"),
+            F.explode(arr).alias("_t"))
+        .select(
+            F.col("author").alias("subject"),
+            F.col("_t.predicate").alias("predicate"),
+            F.col("_t.object").alias("object"),
+            "message_id", "segment_id", "timestamp",
+            F.col("_t.confidence").alias("confidence"),
+            F.lit(C.STAGE_PRIORITY_EXTRACT).alias("stage_priority"))
+    )

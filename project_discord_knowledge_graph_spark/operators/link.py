@@ -1,0 +1,148 @@
+"""J1-J3: Q&A linking as DataFrame joins.
+
+The reference loops answers x questions per segment
+(rule_based/extractor.py:398-543); here:
+
+- J1 reply links: equi self-join on (segment_id, reply_to=message_id).
+- J2 mention links: explode(mentions) + equi-join on (segment_id,
+  lower(author)) with the 10-minute window as a residual range
+  predicate — Spark hashes the equi part, evaluates the range as a
+  post-join filter.  NOTE the reference checks only
+  (a_ts - q_ts) <= window with no lower bound (extractor.py:480), so
+  answers *preceding* a question also link; reproduced faithfully.
+- J3 semantic links: segment-bounded similarity join behind a
+  pluggable embedder (sentence-transformers is absent in the
+  reference's fallback path AND this container, so J1+J2 is the
+  parity path; J3 ships with a deterministic hash embedder for tests
+  and an LSH-blocked plan for scale).
+
+Skew note: segment_id is the join key; hour-bucketed segments bound
+segment size, and AQE skew-join splitting is enabled in session.py
+for the head segments the north rule worries about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import config as C
+
+
+def _links(qa: DataFrame, method: str, conf, priority: int) -> DataFrame:
+    conf_col = conf if not isinstance(conf, float) else F.lit(conf)
+    return qa.select(
+        F.col("q_id").alias("subject"),
+        F.lit("answered_by").alias("predicate"),
+        F.col("a_id").alias("object"),
+        F.concat("q_id", F.lit(f"_{method}_"), "a_id").alias("message_id"),
+        F.col("q_segment").alias("segment_id"),
+        F.col("a_ts").alias("timestamp"),
+        conf_col.alias("confidence"),
+        F.lit(priority).alias("stage_priority"),
+    )
+
+
+def split_qa(messages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    questions = messages.where(F.col("type") == "question").select(
+        F.col("message_id").alias("q_id"),
+        F.lower(F.col("author")).alias("q_author"),
+        F.col("segment_id").alias("q_segment"),
+        F.col("timestamp").alias("q_ts"),
+        F.col("warc_ts").alias("q_tstamp"),
+        F.col("clean_text").alias("q_text"),
+    )
+    answers = messages.where(F.col("type") == "answer").select(
+        F.col("message_id").alias("a_id"),
+        F.col("segment_id").alias("a_segment"),
+        F.col("timestamp").alias("a_ts"),
+        F.col("warc_ts").alias("a_tstamp"),
+        F.col("reply_to"),
+        F.col("mentions"),
+        F.col("clean_text").alias("a_text"),
+    )
+    return questions, answers
+
+
+def link_by_replies(questions: DataFrame, answers: DataFrame) -> DataFrame:
+    """J1 (extractor.py:441-463), confidence 0.95."""
+    joined = answers.where(F.col("reply_to").isNotNull()).join(
+        questions,
+        (F.col("reply_to") == F.col("q_id"))
+        & (F.col("a_segment") == F.col("q_segment")),
+        "inner")
+    return _links(joined, "reply", C.CONF_LINK_REPLY,
+                  C.STAGE_PRIORITY_LINK_REPLY)
+
+
+def link_by_mentions(questions: DataFrame, answers: DataFrame,
+                     time_window_minutes: int = C.QA_TIME_WINDOW_MINUTES
+                     ) -> DataFrame:
+    """J2 (extractor.py:465-492), confidence 0.80.
+
+    One link per (mention element, question) pair within the window;
+    duplicate links collapse in the dedup stage exactly as the
+    reference's keep-first dedup collapses them.
+    """
+    exploded = answers.where(F.size("mentions") > 0).select(
+        "a_id", "a_segment", "a_ts", "a_tstamp",
+        F.explode("mentions").alias("mention"))
+    cond = (
+        (F.lower(F.col("mention")) == F.col("q_author"))
+        & (F.col("a_segment") == F.col("q_segment"))
+        & (F.col("a_tstamp").cast("double") - F.col("q_tstamp").cast("double")
+           <= time_window_minutes * 60)
+    )
+    joined = exploded.join(questions, cond, "inner")
+    return _links(joined, "mention", C.CONF_LINK_MENTION,
+                  C.STAGE_PRIORITY_LINK_MENTION)
+
+
+def link_by_similarity(questions: DataFrame, answers: DataFrame,
+                       embed_udf=None,
+                       time_window_minutes: int = C.QA_TIME_WINDOW_MINUTES,
+                       threshold: float = C.QA_SIMILARITY_THRESHOLD
+                       ) -> DataFrame:
+    """J3 (extractor.py:494-543): segment-bounded cosine join.
+
+    `embed_udf` is a pandas UDF text -> array<float> (in production a
+    sentence-transformer loaded per executor; tests inject a
+    deterministic hash embedder).  The join is equi on segment_id with
+    time + cosine residual predicates — the segment bound is the
+    blocking that keeps this from being a cross join at scale; for
+    unbounded corpora use operators/ann.py LSH blocking instead.
+    """
+    if embed_udf is None:
+        raise NotImplementedError(
+            "no embedder in this container; inject embed_udf "
+            "(text -> array<float>)")
+    q = questions.withColumn("q_vec", embed_udf(F.col("q_text")))
+    a = answers.withColumn("a_vec", embed_udf(F.col("a_text")))
+
+    dot = F.aggregate(
+        F.zip_with("q_vec", "a_vec", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, v: acc + v * v))
+    delta = (F.col("a_tstamp").cast("double")
+             - F.col("q_tstamp").cast("double"))
+
+    joined = (
+        a.join(q, (F.col("a_segment") == F.col("q_segment")), "inner")
+        .where((delta <= time_window_minutes * 60) & (delta >= 0))
+        .withColumn("sim", dot / (norm(F.col("q_vec")) * norm(F.col("a_vec"))))
+        .where(F.col("sim") > threshold)
+    )
+    return _links(joined, "semantic", F.col("sim"),
+                  C.STAGE_PRIORITY_LINK_SEMANTIC)
+
+
+def link_qa(messages: DataFrame, include_semantic: bool = False,
+            embed_udf=None) -> DataFrame:
+    """E10 composite: reply + mention (+ optional semantic) links."""
+    questions, answers = split_qa(messages)
+    out = link_by_replies(questions, answers).unionByName(
+        link_by_mentions(questions, answers))
+    if include_semantic:
+        out = out.unionByName(
+            link_by_similarity(questions, answers, embed_udf))
+    return out

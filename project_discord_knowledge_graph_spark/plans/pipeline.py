@@ -1,0 +1,53 @@
+"""End-to-end KG-construction plan: pages -> triples (-> graph).
+
+Query lifecycle, mirroring the reference's Step3 path (SURVEY.md
+section 3.1) as one lazy DAG:
+
+    scan pages (column-pruned, watermark-pruned)
+      -> extract text from html        [Arrow pandas UDF]
+      -> parse message fields           [native regexp]
+      -> clean_text P3                  [Arrow pandas UDF]
+      -> classify C1                    [native, codegen]
+      -> E1-E8 triple extraction        [native, one pass, no shuffle]
+      -> J1/J2 Q&A link joins           [2 hash joins on segment keys]
+      -> A8 dedup + P7 validation       [1 shuffle on dedup key]
+      -> triples
+
+Shuffle budget: exactly three exchanges (two link joins + dedup).
+The classified messages DataFrame feeds both the extraction branch
+and the two link branches, so it is persisted when `cache_messages`
+is set (at real scale prefer writing the classified table once and
+reading it back — lineage table records the handoff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.classify import with_type
+from ..operators.dedup import aggregate_triples
+from ..operators.extract import extract_triples
+from ..operators.link import link_qa
+from ..sources.pages import pages_to_messages, read_pages
+
+
+def classify_pages(pages: DataFrame) -> DataFrame:
+    """pages -> classified messages (narrow stages only)."""
+    return with_type(pages_to_messages(pages))
+
+
+def build_triples(pages: DataFrame, include_semantic: bool = False,
+                  embed_udf=None, cache_messages: bool = True) -> DataFrame:
+    """Full rule path: pages -> validated triple set."""
+    messages = classify_pages(pages)
+    if cache_messages:
+        messages = messages.persist()
+    extracted = extract_triples(messages)
+    links = link_qa(messages, include_semantic, embed_udf)
+    return aggregate_triples(extracted, links)
+
+
+def build_triples_from_path(spark: SparkSession, path: str,
+                            after_ts: str | None = None,
+                            **kw) -> DataFrame:
+    return build_triples(read_pages(spark, path, after_ts), **kw)

@@ -1,0 +1,97 @@
+"""Pages-table source and the pages -> messages derivation stage.
+
+Input contract (BASELINE input_hint): a table of Common-Crawl-style
+web pages `(url string, warc_ts timestamp, html binary, text string,
+lang string)`.  At production scale this is an Iceberg table
+partitioned by days(warc_ts) — incremental runs prune partitions by
+watermark (the reference's AFTER_TS cursor, entrypoint.sh:12-15);
+locally parquet stands in and the same predicate pushes down to the
+scan (visible as PushedFilters in .explain).
+
+`pages_to_messages` re-expresses the reference preprocessor
+(preprocessor.py:47-296) as one narrow projection stage: metadata
+flatten (P1), timestamp normalize (P2), clean_text (P3, pandas UDF),
+empty filter (P5), thread extraction (P9) and segment-id derivation
+(preprocessor.py:140-166, md5 hour-bucket — native md5 matches
+hashlib.md5 byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.cleaning import clean_text_udf
+from ..functions.html import extract_text_udf
+
+# ISO-8601 with +00:00 offset, matching Python datetime.isoformat()
+# on second-granularity UTC timestamps (preprocessor.py:114)
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ssxxx"
+
+
+def read_pages(spark: SparkSession, path: str,
+               after_ts: str | None = None) -> DataFrame:
+    """Scan the pages table; `after_ts` is the incremental watermark
+    (partition-pruned at the source)."""
+    df = spark.read.parquet(path)
+    if after_ts is not None:
+        df = df.where(F.col("warc_ts") > F.lit(after_ts).cast("timestamp"))
+    return df
+
+
+def _meta(name: str):
+    return F.regexp_extract(
+        F.col("_html_str"), f'<meta name="{name}" content="([^"]*)">', 1)
+
+
+def pages_to_messages(pages: DataFrame,
+                      use_extracted_text: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> preprocessed messages.
+
+    Runs text extraction from raw html (Arrow-batched pandas UDF) and
+    derives the reference's message fields from page metadata.  One
+    narrow stage: no shuffle, html/text pruned immediately after use.
+    """
+    df = pages.withColumn("_html_str", F.col("html").cast("string"))
+    df = df.withColumn(
+        "content",
+        extract_text_udf(F.col("html")) if use_extracted_text
+        else F.col("text"))
+
+    empty_as_null = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+
+    df = df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "content",
+        _meta("message-id").alias("message_id"),
+        _meta("author").alias("author"),
+        _meta("channel").alias("channel"),
+        empty_as_null(_meta("thread")).alias("thread"),
+        empty_as_null(_meta("reply-to")).alias("reply_to"),
+        F.when(_meta("mentions") == "", F.array().cast("array<string>"))
+         .otherwise(F.split(_meta("mentions"), ",")).alias("mentions"),
+    )
+
+    # P2 timestamp normalize: typed ts + the ISO string the reference
+    # emits (keep both; string avoids reformat drift, SURVEY section 7)
+    df = df.withColumn("timestamp", F.date_format("warc_ts", ISO_FMT))
+
+    # P5 empty filter (preprocessor.py:272-274)
+    df = df.where(F.length(F.trim(F.col("content"))) > 0)
+
+    # P3 cleaner (byte-parity pandas UDF)
+    df = df.withColumn("clean_text", clean_text_udf(F.col("content")))
+
+    # segment id (preprocessor.py:140-166)
+    thread_slug = F.concat(
+        F.lit("thread-"),
+        F.regexp_replace(F.lower(F.col("thread")), "[^a-zA-Z0-9]", "-"))
+    hour_bucket = F.date_format("warc_ts", "yyyyMMdd-HH")
+    hashed = F.md5(F.concat_ws("-", F.col("channel"), F.col("author"),
+                               hour_bucket))
+    df = df.withColumn(
+        "segment_id",
+        F.when(F.col("thread").isNotNull(), thread_slug)
+         .otherwise(F.concat(F.lit("segment-"), F.substring(hashed, 1, 8))))
+    return df
