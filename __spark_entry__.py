@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full KG rule path (classify -> extract ->
+                dedup -> validate + Q&A links) over the sf0.001
+                corpus, returning the extracted triple set.
+queries()     — one entry per implemented operator family
+                (SURVEY.md section 2), each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-executable ANSI SQL equivalents.
 """
 
 from __future__ import annotations
@@ -13,26 +14,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from project_discord_knowledge_graph_spark import entry_queries as EQ
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    triples = EQ.q_triples_dedup(spark, sf_dir)
+    links = EQ.q_link_replies(spark, sf_dir).unionByName(
+        EQ.q_link_mentions(spark, sf_dir))
+    return triples.unionByName(links)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in EQ.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in EQ.QUERIES.items()
+            if sql is not None}

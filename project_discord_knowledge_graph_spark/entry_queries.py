@@ -1,0 +1,680 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracles.
+
+Each entry implements one operator family from SURVEY.md section 2 as
+an idiomatic Spark DataFrame plan, paired with an ANSI-SQL oracle that
+DuckDB executes over the same parquet tables.  The driver compares
+row-count + schema + order-insensitive value-hash at sf=0.01.
+
+Determinism rules used throughout:
+- every computed column aliased identically on both sides;
+- doubles that aggregate floating sums are rounded (or summed as
+  DECIMAL then cast) so double-addition order cannot flip the hash;
+- top-k queries always carry an explicit total-order tie-break.
+
+The KG-domain queries derive a message-shaped corpus from the
+`documents` table by appending a deterministic finance marker keyed
+by doc_id % 12 (covering every C1 class and extraction branch), and a
+message-shaped corpus from `events` (reply_to / mentions) for the
+Q&A-link joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import config as C
+from .operators.classify import classify_expr
+from .operators.dedup import dedup_key
+from .operators.extract import extract_triples
+from .operators.link import link_by_mentions, link_by_replies, split_qa
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _strip_sql(col: str) -> str:
+    return f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+
+
+def _trunc_sql(col: str, n: int) -> str:
+    return (f"CASE WHEN length({col}) > {n} "
+            f"THEN substr({col}, 1, {n}) || '...' ELSE {col} END")
+
+
+def _any_sql(col: str, patterns) -> str:
+    return "(" + " OR ".join(
+        f"regexp_matches({col}, '{p}')" for p in patterns) + ")"
+
+
+# ---------------------------------------------------------------------------
+# docs -> message corpus (deterministic markers exercise every branch)
+# ---------------------------------------------------------------------------
+
+MARKERS = [
+    " what should i buy, btc or eth?",                        # question
+    " alert: fomc meeting starts soon",                       # alert
+    " made +15.5% profit this month",                         # performance
+    " my plan is the wheel strategy on spy",                  # strategy
+    " technical analysis: tqqq trend outlook",                # analysis
+    " lost -3% on tsla, rough loss",                          # performance(-)
+    " lol robinhood ui, btc memes?",                          # discussion
+    " buying btc and eth, selling sol, bullish long today",   # strategy/signal
+    " anyone know robinhood or fidelity?",                    # question
+    " caution: volatility expected, watch qqq",               # alert
+    "",                                                       # answer (len>50)
+    " thanks for the tip yesterday, it worked",               # answer
+]
+
+
+def classify_case_sql(col: str = "clean_text") -> str:
+    """C1 precedence as a DuckDB CASE (patterns from config — text is
+    pre-lowercased so the (?i) flag is unnecessary on both engines)."""
+    return f"""CASE
+      WHEN regexp_matches({col}, '{C.PERFORMANCE_PATTERN}')
+           AND regexp_matches({col}, '{C.RETURN_KEYWORDS}') THEN 'performance'
+      WHEN {_any_sql(col, C.CLASSIFIER_ALERT_PATTERNS)} THEN 'alert'
+      WHEN {_any_sql(col, C.CLASSIFIER_QUESTION_PATTERNS)} THEN 'question'
+      WHEN {_any_sql(col, C.CLASSIFIER_STRATEGY_PATTERNS)} THEN 'strategy'
+      WHEN {_any_sql(col, C.CLASSIFIER_ANALYSIS_PATTERNS)} THEN 'analysis'
+      WHEN length({col}) > 50 AND NOT ({col} LIKE '%?') THEN 'answer'
+      ELSE 'discussion' END"""
+
+
+def docs_msgs_sql() -> str:
+    whens = "\n".join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(MARKERS))
+    return f"""
+    dbase AS (
+      SELECT doc_id,
+             CAST(doc_id AS VARCHAR) AS message_id,
+             source AS author,
+             source AS segment_id,
+             lower(text || CASE CAST(doc_id % 12 AS INTEGER) {whens}
+                           ELSE '' END) AS clean_text
+      FROM documents),
+    dmsgs AS (
+      SELECT *, {classify_case_sql()} AS type FROM dbase)"""
+
+
+def docs_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    marker = F.element_at(
+        F.array(*[F.lit(m) for m in MARKERS]),
+        ((F.col("doc_id") % 12) + 1).cast("int"))
+    df = docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("message_id"),
+        F.col("source").alias("author"),
+        F.col("source").alias("segment_id"),
+        F.lower(F.concat(F.col("text"), marker)).alias("clean_text"),
+    )
+    return df.withColumn("type", classify_expr(F.col("clean_text"))) \
+             .withColumn("timestamp", F.lit(""))
+
+
+def _extract_subset(spark, sf_dir, predicates: tuple[str, ...],
+                    preset_type: str | None = None,
+                    doc_filter=None) -> DataFrame:
+    msgs = docs_messages(spark, sf_dir)
+    if doc_filter is not None:
+        msgs = msgs.where(doc_filter)
+    if preset_type:
+        msgs = msgs.withColumn("type", F.lit(preset_type))
+    out = extract_triples(msgs).where(F.col("predicate").isin(*predicates))
+    return out.select("subject", "predicate", "object", "message_id",
+                      "confidence")
+
+
+# ---------------------------------------------------------------------------
+# events -> message corpus for the link joins
+# ---------------------------------------------------------------------------
+
+EVENTS_MSGS_SQL = """
+    emsgs AS (
+      SELECT CAST(event_id AS VARCHAR) AS message_id,
+             CAST(event_id // 50 AS VARCHAR) AS segment_id,
+             'u' || CAST(user_id % 7 AS VARCHAR) AS author,
+             CASE event_type WHEN 'signup' THEN 'question'
+                             WHEN 'click' THEN 'answer'
+                             ELSE 'discussion' END AS type,
+             ts,
+             CASE WHEN event_type = 'click' AND event_id % 2 = 0
+                  THEN CAST(event_id - 3 AS VARCHAR) END AS reply_to,
+             CASE WHEN event_type = 'click'
+                  THEN 'u' || CAST((user_id + 1) % 7 AS VARCHAR)
+                  END AS mention
+      FROM events)"""
+
+
+def events_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("message_id"),
+        F.expr("event_id div 50").cast("string").alias("segment_id"),
+        F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string"))
+         .alias("author"),
+        F.when(F.col("event_type") == "signup", F.lit("question"))
+         .when(F.col("event_type") == "click", F.lit("answer"))
+         .otherwise(F.lit("discussion")).alias("type"),
+        F.col("ts").alias("warc_ts"),
+        F.col("ts").cast("string").alias("timestamp"),
+        F.when((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0),
+               (F.col("event_id") - 3).cast("string")).alias("reply_to"),
+        F.when(F.col("event_type") == "click",
+               F.array(F.concat(F.lit("u"),
+                                ((F.col("user_id") + 1) % 7).cast("string"))))
+         .otherwise(F.array().cast("array<string>")).alias("mentions"),
+        F.lit("").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG-domain queries
+# ---------------------------------------------------------------------------
+
+def q_classify_counts(spark, sf_dir):
+    return (docs_messages(spark, sf_dir)
+            .groupBy("type").agg(F.count("*").alias("n")))
+
+
+SQL_CLASSIFY_COUNTS = f"""
+WITH {docs_msgs_sql()}
+SELECT type, count(*) AS n FROM dmsgs GROUP BY type"""
+
+
+def q_extract_question(spark, sf_dir):
+    return _extract_subset(spark, sf_dir, ("asks_about",))
+
+
+SQL_EXTRACT_QUESTION = f"""
+WITH {docs_msgs_sql()},
+q0 AS (
+  SELECT *, {_strip_sql(f"regexp_replace(clean_text, '{C.QUESTION_TOPIC_STRIP}', '', 'g')")} AS t1
+  FROM dmsgs WHERE type = 'question'),
+q1 AS (SELECT *, {_trunc_sql('t1', 80)} AS t2 FROM q0)
+SELECT author AS subject, 'asks_about' AS predicate,
+       CASE WHEN t2 = '' THEN {_trunc_sql('clean_text', 60)} ELSE t2 END AS object,
+       message_id, CAST(0.85 AS DOUBLE) AS confidence
+FROM q1"""
+
+
+def q_extract_alert(spark, sf_dir):
+    return _extract_subset(spark, sf_dir, ("alerts",))
+
+
+SQL_EXTRACT_ALERT = f"""
+WITH {docs_msgs_sql()}
+SELECT author AS subject, 'alerts' AS predicate,
+       'all_members about ' || {_trunc_sql('clean_text', 60)} AS object,
+       message_id, CAST(0.80 AS DOUBLE) AS confidence
+FROM dmsgs WHERE type = 'alert'"""
+
+
+def q_extract_strategy(spark, sf_dir):
+    return _extract_subset(spark, sf_dir,
+                           ("recommends", "discusses_strategy"))
+
+
+SQL_EXTRACT_STRATEGY = f"""
+WITH {docs_msgs_sql()},
+s AS (SELECT * FROM dmsgs WHERE type = 'strategy')
+SELECT author AS subject, 'recommends' AS predicate,
+       u.h || ' strategy' AS object, message_id,
+       CAST(0.85 AS DOUBLE) AS confidence
+FROM s, LATERAL unnest(regexp_extract_all(clean_text,
+     '{C.STRATEGY_PATTERN}', 1)) AS u(h)
+UNION ALL
+SELECT author AS subject, 'discusses_strategy' AS predicate,
+       {_trunc_sql('clean_text', 50)} AS object, message_id,
+       CAST(0.70 AS DOUBLE) AS confidence
+FROM s WHERE NOT regexp_matches(clean_text, '{C.STRATEGY_PATTERN}')"""
+
+
+_ASSETS_SQL = (
+    "list_sort(list_distinct(list_transform("
+    "list_concat(list_concat("
+    f"regexp_extract_all(clean_text, '{C.ASSET_PATTERNS['crypto']}', 1), "
+    f"regexp_extract_all(clean_text, '{C.ASSET_PATTERNS['etf']}', 1)), "
+    f"regexp_extract_all(clean_text, '{C.ASSET_PATTERNS['stock']}', 1)), "
+    "x -> upper(x))))"
+)
+
+def _action_case(a: str) -> str:
+    return (f"CASE WHEN regexp_matches(clean_text, "
+            f"'{C.ACTION_PATTERNS[a]}') THEN ['{a}'] ELSE [] END")
+
+
+# nested list_concat of the three action cases, buy/sell/hold order
+_ACTIONS_SQL = (
+    f"list_concat(list_concat({_action_case('buy')}, "
+    f"{_action_case('sell')}), {_action_case('hold')})"
+)
+
+
+def q_extract_signal(spark, sf_dir):
+    return _extract_subset(
+        spark, sf_dir,
+        ("recommends_buy", "recommends_sell", "recommends_hold",
+         "mentions_asset"),
+        preset_type="signal",
+        doc_filter=(F.col("doc_id") % 12) == 7)
+
+
+SQL_EXTRACT_SIGNAL = f"""
+WITH {docs_msgs_sql()},
+sig AS (
+  SELECT author, message_id, {_ASSETS_SQL} AS assets, {_ACTIONS_SQL} AS actions
+  FROM dmsgs WHERE CAST(doc_id % 12 AS INTEGER) = 7)
+SELECT author AS subject, 'recommends_' || v.act AS predicate,
+       u.a AS object, message_id, CAST(0.80 AS DOUBLE) AS confidence
+FROM sig, LATERAL unnest(assets) AS u(a), LATERAL unnest(actions) AS v(act)
+WHERE length(actions) > 0
+UNION ALL
+SELECT author AS subject, 'mentions_asset' AS predicate,
+       u.a AS object, message_id, CAST(0.60 AS DOUBLE) AS confidence
+FROM sig, LATERAL unnest(assets) AS u(a)
+WHERE length(actions) = 0"""
+
+
+def q_extract_performance(spark, sf_dir):
+    return _extract_subset(spark, sf_dir, ("reports_return",))
+
+
+SQL_EXTRACT_PERFORMANCE = f"""
+WITH {docs_msgs_sql()},
+p AS (SELECT * FROM dmsgs
+      WHERE type = 'performance'
+        AND regexp_matches(clean_text, '{C.RETURN_KEYWORDS}'))
+SELECT author AS subject, 'reports_return' AS predicate,
+       CASE WHEN u.pct LIKE '-%' THEN u.pct || '% loss on strategy'
+            ELSE '+' || u.pct || '% on strategy' END AS object,
+       message_id, CAST(0.85 AS DOUBLE) AS confidence
+FROM p, LATERAL unnest(regexp_extract_all(clean_text,
+     '{C.PERFORMANCE_PATTERN}', 1)) AS u(pct)"""
+
+
+def q_extract_analysis(spark, sf_dir):
+    return _extract_subset(spark, sf_dir, ("analyzes", "provides_analysis"))
+
+
+SQL_EXTRACT_ANALYSIS = f"""
+WITH {docs_msgs_sql()},
+an AS (SELECT *, {_ASSETS_SQL} AS assets FROM dmsgs WHERE type = 'analysis')
+SELECT author AS subject, 'analyzes' AS predicate,
+       u.a || ' outlook' AS object, message_id,
+       CAST(0.75 AS DOUBLE) AS confidence
+FROM an, LATERAL unnest(assets) AS u(a)
+WHERE length(assets) > 0
+UNION ALL
+SELECT author AS subject, 'provides_analysis' AS predicate,
+       {_trunc_sql('clean_text', 60)} AS object, message_id,
+       CAST(0.70 AS DOUBLE) AS confidence
+FROM an WHERE length(assets) = 0"""
+
+
+def q_extract_discussion(spark, sf_dir):
+    return _extract_subset(spark, sf_dir, ("discusses", "shares_opinion"))
+
+
+SQL_EXTRACT_DISCUSSION = f"""
+WITH {docs_msgs_sql()},
+d AS (SELECT *, {_ASSETS_SQL} AS assets FROM dmsgs WHERE type = 'discussion')
+SELECT author AS subject, 'discusses' AS predicate,
+       lower(u.p) AS object, message_id, CAST(0.65 AS DOUBLE) AS confidence
+FROM d, LATERAL unnest(regexp_extract_all(clean_text,
+     '{C.PLATFORM_PATTERN}', 1)) AS u(p)
+UNION ALL
+SELECT author AS subject, 'shares_opinion' AS predicate,
+       'on ' || u.a AS object, message_id, CAST(0.60 AS DOUBLE) AS confidence
+FROM d, LATERAL unnest(assets) AS u(a)"""
+
+
+def q_extract_answer(spark, sf_dir):
+    return _extract_subset(spark, sf_dir, ("provides_info",))
+
+
+SQL_EXTRACT_ANSWER = f"""
+WITH {docs_msgs_sql()}
+SELECT author AS subject, 'provides_info' AS predicate,
+       {_trunc_sql('clean_text', 60)} AS object, message_id,
+       CAST(0.75 AS DOUBLE) AS confidence
+FROM dmsgs WHERE type = 'answer'"""
+
+
+def q_triples_dedup(spark, sf_dir):
+    """Full E1-E8 union + A8 keep-first dedup + P7 validation."""
+    msgs = docs_messages(spark, sf_dir)
+    triples = extract_triples(msgs)
+    w = Window.partitionBy("_key").orderBy("message_id", "predicate",
+                                           "object")
+    out = (triples
+           .withColumn("_key", dedup_key(F.col("subject"),
+                                         F.col("predicate"),
+                                         F.col("object")))
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .where(F.length("object") >= 2))
+    return out.select("subject", "predicate", "object", "message_id",
+                      "confidence")
+
+
+# shared CTE block: the full E1-E8 UNION ALL as `allt`
+SQL_EXTRACT_ALL_CTES = f"""
+WITH {docs_msgs_sql()},
+q0 AS (
+  SELECT *, {_strip_sql(f"regexp_replace(clean_text, '{C.QUESTION_TOPIC_STRIP}', '', 'g')")} AS t1
+  FROM dmsgs WHERE type = 'question'),
+q1 AS (SELECT *, {_trunc_sql('t1', 80)} AS t2 FROM q0),
+s AS (SELECT * FROM dmsgs WHERE type = 'strategy'),
+p AS (SELECT * FROM dmsgs WHERE type = 'performance'
+      AND regexp_matches(clean_text, '{C.RETURN_KEYWORDS}')),
+an AS (SELECT *, {_ASSETS_SQL} AS assets FROM dmsgs WHERE type = 'analysis'),
+d AS (SELECT *, {_ASSETS_SQL} AS assets FROM dmsgs WHERE type = 'discussion'),
+allt AS (
+  SELECT author AS subject, 'asks_about' AS predicate,
+         CASE WHEN t2 = '' THEN {_trunc_sql('clean_text', 60)} ELSE t2 END AS object,
+         message_id, CAST(0.85 AS DOUBLE) AS confidence FROM q1
+  UNION ALL
+  SELECT author, 'provides_info', {_trunc_sql('clean_text', 60)},
+         message_id, CAST(0.75 AS DOUBLE) FROM dmsgs WHERE type = 'answer'
+  UNION ALL
+  SELECT author, 'alerts', 'all_members about ' || {_trunc_sql('clean_text', 60)},
+         message_id, CAST(0.80 AS DOUBLE) FROM dmsgs WHERE type = 'alert'
+  UNION ALL
+  SELECT author, 'recommends', u.h || ' strategy', message_id,
+         CAST(0.85 AS DOUBLE)
+  FROM s, LATERAL unnest(regexp_extract_all(clean_text,
+       '{C.STRATEGY_PATTERN}', 1)) AS u(h)
+  UNION ALL
+  SELECT author, 'discusses_strategy', {_trunc_sql('clean_text', 50)},
+         message_id, CAST(0.70 AS DOUBLE)
+  FROM s WHERE NOT regexp_matches(clean_text, '{C.STRATEGY_PATTERN}')
+  UNION ALL
+  SELECT author, 'reports_return',
+         CASE WHEN u.pct LIKE '-%' THEN u.pct || '% loss on strategy'
+              ELSE '+' || u.pct || '% on strategy' END,
+         message_id, CAST(0.85 AS DOUBLE)
+  FROM p, LATERAL unnest(regexp_extract_all(clean_text,
+       '{C.PERFORMANCE_PATTERN}', 1)) AS u(pct)
+  UNION ALL
+  SELECT author, 'analyzes', u.a || ' outlook', message_id,
+         CAST(0.75 AS DOUBLE)
+  FROM an, LATERAL unnest(assets) AS u(a) WHERE length(assets) > 0
+  UNION ALL
+  SELECT author, 'provides_analysis', {_trunc_sql('clean_text', 60)},
+         message_id, CAST(0.70 AS DOUBLE)
+  FROM an WHERE length(assets) = 0
+  UNION ALL
+  SELECT author, 'discusses', lower(u.p), message_id, CAST(0.65 AS DOUBLE)
+  FROM d, LATERAL unnest(regexp_extract_all(clean_text,
+       '{C.PLATFORM_PATTERN}', 1)) AS u(p)
+  UNION ALL
+  SELECT author, 'shares_opinion', 'on ' || u.a, message_id,
+         CAST(0.60 AS DOUBLE)
+  FROM d, LATERAL unnest(assets) AS u(a))"""
+
+
+SQL_TRIPLES_DEDUP = SQL_EXTRACT_ALL_CTES + f"""
+SELECT subject, predicate, object, message_id, confidence FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {_strip_sql("lower(subject || '|' || predicate || '|' || object)")}
+    ORDER BY message_id, predicate, object) AS rn
+  FROM allt)
+WHERE rn = 1 AND length(object) >= 2"""
+
+
+def q_link_replies(spark, sf_dir):
+    questions, answers = split_qa(events_messages(spark, sf_dir))
+    return link_by_replies(questions, answers).select(
+        "subject", "predicate", "object", "message_id", "confidence")
+
+
+SQL_LINK_REPLIES = f"""
+WITH {EVENTS_MSGS_SQL}
+SELECT q.message_id AS subject, 'answered_by' AS predicate,
+       a.message_id AS object,
+       q.message_id || '_reply_' || a.message_id AS message_id,
+       CAST(0.95 AS DOUBLE) AS confidence
+FROM emsgs a JOIN emsgs q
+  ON a.reply_to = q.message_id AND a.segment_id = q.segment_id
+WHERE a.type = 'answer' AND q.type = 'question'"""
+
+
+def q_link_mentions(spark, sf_dir):
+    questions, answers = split_qa(events_messages(spark, sf_dir))
+    return link_by_mentions(questions, answers).select(
+        "subject", "predicate", "object", "message_id", "confidence")
+
+
+SQL_LINK_MENTIONS = f"""
+WITH {EVENTS_MSGS_SQL}
+SELECT q.message_id AS subject, 'answered_by' AS predicate,
+       a.message_id AS object,
+       q.message_id || '_mention_' || a.message_id AS message_id,
+       CAST(0.80 AS DOUBLE) AS confidence
+FROM emsgs a JOIN emsgs q
+  ON lower(a.mention) = q.author AND a.segment_id = q.segment_id
+  AND epoch_us(a.ts) - epoch_us(q.ts) <= 600 * 1000000
+WHERE a.type = 'answer' AND q.type = 'question'
+  AND a.mention IS NOT NULL"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / window / analytics queries (A/W/SO families)
+# ---------------------------------------------------------------------------
+
+def q_pred_histogram(spark, sf_dir):
+    msgs = docs_messages(spark, sf_dir)
+    return (extract_triples(msgs)
+            .groupBy("predicate").agg(F.count("*").alias("n")))
+
+
+SQL_PRED_HISTOGRAM = (
+    SQL_EXTRACT_ALL_CTES
+    + "\nSELECT predicate, count(*) AS n FROM allt GROUP BY predicate"
+)
+
+
+def q_confidence_stats(spark, sf_dir):
+    msgs = docs_messages(spark, sf_dir)
+    t = extract_triples(msgs)
+    return t.groupBy("predicate").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("confidence"), 4).alias("avg_conf"),
+        F.round(F.avg((F.col("confidence") > 0.8).cast("int")), 4)
+         .alias("share_high"))
+
+
+SQL_CONFIDENCE_STATS = SQL_EXTRACT_ALL_CTES + """
+SELECT predicate, count(*) AS n,
+       round(avg(confidence), 4) AS avg_conf,
+       round(avg(CASE WHEN confidence > 0.8 THEN 1 ELSE 0 END), 4)
+         AS share_high
+FROM allt GROUP BY predicate"""
+
+
+def q_hourly_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour"),
+                "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+
+
+SQL_HOURLY_EVENTS = """
+SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_top_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), "user_id").limit(10))
+
+
+SQL_TOP_USERS = """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"""
+
+
+def q_distinct_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("event_type").alias("types"),
+        F.count("*").alias("n"))
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT count(DISTINCT user_id) AS users,
+       count(DISTINCT event_type) AS types, count(*) AS n FROM events"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                   F.sum(dec("l_extendedprice")).cast("double")
+                    .alias("sum_base_price"),
+                   F.count("*").alias("count_order"),
+                   F.round(F.avg("l_discount"), 6).alias("avg_disc")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       count(*) AS count_order,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .where(F.col("o_orderdate") < F.lit("2000-01-01"))
+              .groupBy("l_orderkey")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+def q_top5_per_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= 5)
+              .select("event_type", "event_id", "rn"))
+
+
+SQL_TOP5_PER_TYPE = """
+SELECT event_type, event_id, rn FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 5"""
+
+
+def q_session_counts(spark, sf_dir):
+    """Session windows via gaps-and-islands (5-minute gap —
+    the documented-but-unimplemented reference heuristic,
+    README.md:41-45)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    um = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    gap = um(F.col("ts")) - um(F.lag("ts").over(w))
+    return (ev.withColumn("new_sess",
+                          (gap > 300 * 1_000_000).cast("int"))
+              .groupBy("user_id")
+              .agg((F.coalesce(F.sum("new_sess"), F.lit(0)) + 1)
+                   .cast("long").alias("sessions"),
+                   F.count("*").alias("n")))
+
+
+SQL_SESSION_COUNTS = """
+SELECT user_id,
+       CAST(coalesce(sum(new_sess), 0) + 1 AS BIGINT) AS sessions,
+       count(*) AS n
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 300 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+GROUP BY user_id"""
+
+
+def q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
+                   .alias("sum_k"),
+                   F.count("*").alias("n")))
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "kg_classify_counts": (q_classify_counts, SQL_CLASSIFY_COUNTS),
+    "kg_extract_question": (q_extract_question, SQL_EXTRACT_QUESTION),
+    "kg_extract_answer": (q_extract_answer, SQL_EXTRACT_ANSWER),
+    "kg_extract_alert": (q_extract_alert, SQL_EXTRACT_ALERT),
+    "kg_extract_strategy": (q_extract_strategy, SQL_EXTRACT_STRATEGY),
+    "kg_extract_signal": (q_extract_signal, SQL_EXTRACT_SIGNAL),
+    "kg_extract_performance": (q_extract_performance,
+                               SQL_EXTRACT_PERFORMANCE),
+    "kg_extract_analysis": (q_extract_analysis, SQL_EXTRACT_ANALYSIS),
+    "kg_extract_discussion": (q_extract_discussion, SQL_EXTRACT_DISCUSSION),
+    "kg_triples_dedup": (q_triples_dedup, SQL_TRIPLES_DEDUP),
+    "kg_link_replies": (q_link_replies, SQL_LINK_REPLIES),
+    "kg_link_mentions": (q_link_mentions, SQL_LINK_MENTIONS),
+    "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
+    "agg_confidence_stats": (q_confidence_stats, SQL_CONFIDENCE_STATS),
+    "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
+    "agg_top_users": (q_top_users, SQL_TOP_USERS),
+    "agg_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
+    "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
+    "win_session_counts": (q_session_counts, SQL_SESSION_COUNTS),
+    "agg_json_props": (q_json_props, SQL_JSON_PROPS),
+}

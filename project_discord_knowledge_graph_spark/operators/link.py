@@ -89,8 +89,9 @@ def link_by_mentions(questions: DataFrame, answers: DataFrame,
     cond = (
         (F.lower(F.col("mention")) == F.col("q_author"))
         & (F.col("a_segment") == F.col("q_segment"))
-        & (F.col("a_tstamp").cast("double") - F.col("q_tstamp").cast("double")
-           <= time_window_minutes * 60)
+        & (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
+           - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz"))
+           <= time_window_minutes * 60 * 1_000_000)
     )
     joined = exploded.join(questions, cond, "inner")
     return _links(joined, "mention", C.CONF_LINK_MENTION,
