@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus triples/sec and corpus sizes}.
+
+--scaling mode: run the identical job at two parallelism levels
+(local[8] and local[32], shuffle partitions scaled with cores) on the
+same input and report throughput at both plus scaling efficiency
+(T_8 / T_32) / 4 — the sandbox stand-in for the north rule's N vs 4N
+executor criterion (no real cluster here).  Writes BENCH.md.
+
+The headline job is the full KG rule path (html text extraction ->
+classify -> extract -> link -> dedup -> validate) over a deterministic
+synthetic pages corpus sized proportionally to the scale factor
+(sf0.1 -> 50k pages), cached as parquet under /tmp/kg_bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PAGES_CACHE = "/tmp/kg_bench"
+
+
+def _pages_count(sf_dir: str) -> int:
+    # 10x the documents table: sf0.1 -> 50_000 pages (enough real work
+    # that per-task overhead amortizes, still seconds-scale locally)
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    return max(int(n) * 10, 2000)
+
+
+def ensure_pages(spark, sf_dir: str, n: int | None = None) -> tuple[str, int]:
+    n = n or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "0")) \
+        or _pages_count(sf_dir)
+    path = f"{PAGES_CACHE}/pages_{n}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from project_discord_knowledge_graph_spark.sources.synth_dist import (
+            write_pages_dist,
+        )
+        write_pages_dist(spark, path, n=n, seed=42, partitions=128)
+    return path, n
+
+
+def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
+    from project_discord_knowledge_graph_spark import entry_queries as EQ
+    from project_discord_knowledge_graph_spark.plans.pipeline import (
+        build_triples_from_path,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn, reps: int = 2):
+        # best-of-N: report steady-state (the 100 TB-relevant number);
+        # cold JVM/worker effects are absorbed by the warmup + rep 1
+        best, out = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        return out
+
+    # warmup: absorb JVM/codegen startup and Python UDF worker spawn
+    # (steady-state throughput is the metric that projects to a real
+    # cluster; worker spawn is a per-executor one-time cost there)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from project_discord_knowledge_graph_spark.sources.synth import (
+        write_pages,
+    )
+    warm_path = f"{PAGES_CACHE}/pages_warmup_2000"
+    if not os.path.exists(f"{warm_path}/_SUCCESS"):
+        write_pages(spark, warm_path, n=2000, seed=7, partitions=64)
+    build_triples_from_path(spark, warm_path).count()
+    build_triples_from_path(spark, warm_path).count()
+
+    import shutil
+
+    def pipeline_once():
+        stage = f"/tmp/kg_bench/stage_{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        n = build_triples_from_path(spark, pages_path,
+                                    stage_dir=stage).count()
+        shutil.rmtree(stage, ignore_errors=True)
+        return n
+
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY"):
+        extras["triples"] = timed("kg_pipeline", pipeline_once, reps=3)
+        return {"queries": timings, **extras}
+
+    extras["triples"] = timed("kg_pipeline", pipeline_once)
+
+    for name in ("kg_triples_dedup", "kg_link_replies", "kg_link_mentions",
+                 "kg_classify_counts", "tpch_q1_pricing", "tpch_q3_topk",
+                 "win_session_counts", "agg_hourly_events"):
+        fn, _sql = EQ.QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    return {"queries": timings, **extras}
+
+
+def single_run(cores: int, sf_dir: str) -> dict:
+    from project_discord_knowledge_graph_spark.session import get_spark
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(f"bench-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        pages_path, n_pages = ensure_pages(spark, sf_dir)
+        res = run_queries(spark, sf_dir, pages_path)
+        total = round(sum(res["queries"].values()), 3)
+        return {
+            "metric": "kg_pipeline_e2e",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_dir,
+            "cores": cores,
+            "n_pages": n_pages,
+            "triples": res["triples"],
+            "triples_per_sec": round(
+                res["triples"] / res["queries"]["kg_pipeline"], 1),
+            "queries": res["queries"],
+        }
+    finally:
+        spark.stop()
+
+
+def scaling_run(sf_dir: str) -> dict:
+    """Run bench at 8 and 32 cores in fresh subprocesses (fresh JVMs).
+
+    The scaling corpus is larger (default 400k pages) so the job
+    saturates 8 cores — efficiency on an overhead-bound toy job would
+    measure the constant, not the scaling."""
+    out = {}
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "400000"))
+    # pre-generate the corpus at full parallelism so the 8-core run
+    # doesn't pay generation cost
+    from project_discord_knowledge_graph_spark.session import get_spark
+    prep = get_spark("bench-prep", master="local[32]",
+                     shuffle_partitions=32)
+    prep.sparkContext.setLogLevel("ERROR")
+    try:
+        ensure_pages(prep, sf_dir, n=n_pages)
+    finally:
+        prep.stop()
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_PAGES=str(n_pages),
+                   SPARK_GRAFT_BENCH_PIPELINE_ONLY="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            env=env, capture_output=True, text=True, check=True)
+        out[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = out[8]["queries"]["kg_pipeline"]
+    t32 = out[32]["queries"]["kg_pipeline"]
+    eff = round((t8 / t32) / 4, 3)
+    report = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "sf": sf_dir,
+        "throughput_8": out[8]["triples_per_sec"],
+        "throughput_32": out[32]["triples_per_sec"],
+        "t8_sec": t8,
+        "t32_sec": t32,
+        "runs": out,
+    }
+    _write_bench_md(report)
+    return report
+
+
+def _write_bench_md(r: dict) -> None:
+    lines = [
+        "# BENCH — measured numbers (this engine)",
+        "",
+        "The north rule's N -> 4N executor scaling criterion is evidenced",
+        "by running the identical KG pipeline job at two local parallelism",
+        "levels on the same input (no real cluster in this sandbox):",
+        "",
+        "| parallelism | kg_pipeline sec | triples/sec |",
+        "|---|---|---|",
+        f"| local[8], 8 shuffle partitions | {r['t8_sec']} |"
+        f" {r['throughput_8']} |",
+        f"| local[32], 32 shuffle partitions | {r['t32_sec']} |"
+        f" {r['throughput_32']} |",
+        "",
+        f"**Scaling efficiency (T_8 / T_32) / 4 = {r['value']}**"
+        f" (target >= 0.8 per BASELINE.json; 1.0 = perfect linear).",
+        "",
+        f"Corpus: deterministic synthetic pages table at {r['sf']}"
+        f" ({r['runs'][8]['n_pages']} pages),"
+        f" {r['runs'][8]['triples']} triples emitted.",
+        "",
+        "Reference baseline (BASELINE.md): ~100 msg/s, ~104 triples/s,",
+        "single process.  Per-query timings at 32 cores:",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for q, s in r["runs"][32]["queries"].items():
+        lines.append(f"| {q} | {s} |")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--json-only", action="store_true",
+                    help="suppress everything except the final JSON line")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    if args.scaling:
+        print(json.dumps(scaling_run(sf_dir)))
+    else:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(single_run(cores, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,24 +42,34 @@ def _links(qa: DataFrame, method: str, conf, priority: int) -> DataFrame:
     )
 
 
-def split_qa(messages: DataFrame) -> tuple[DataFrame, DataFrame]:
-    questions = messages.where(F.col("type") == "question").select(
+def split_qa(messages: DataFrame,
+             include_text: bool = False) -> tuple[DataFrame, DataFrame]:
+    """Project questions/answers to the minimal link columns.
+
+    clean_text is excluded unless the semantic linker needs it —
+    keeping it out lets Catalyst prune the (expensive) text columns
+    entirely out of the J1/J2 join scans.
+    """
+    q_cols = [
         F.col("message_id").alias("q_id"),
         F.lower(F.col("author")).alias("q_author"),
         F.col("segment_id").alias("q_segment"),
         F.col("timestamp").alias("q_ts"),
         F.col("warc_ts").alias("q_tstamp"),
-        F.col("clean_text").alias("q_text"),
-    )
-    answers = messages.where(F.col("type") == "answer").select(
+    ]
+    a_cols = [
         F.col("message_id").alias("a_id"),
         F.col("segment_id").alias("a_segment"),
         F.col("timestamp").alias("a_ts"),
         F.col("warc_ts").alias("a_tstamp"),
         F.col("reply_to"),
         F.col("mentions"),
-        F.col("clean_text").alias("a_text"),
-    )
+    ]
+    if include_text:
+        q_cols.append(F.col("clean_text").alias("q_text"))
+        a_cols.append(F.col("clean_text").alias("a_text"))
+    questions = messages.where(F.col("type") == "question").select(*q_cols)
+    answers = messages.where(F.col("type") == "answer").select(*a_cols)
     return questions, answers
 
 
@@ -140,7 +150,7 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
 def link_qa(messages: DataFrame, include_semantic: bool = False,
             embed_udf=None) -> DataFrame:
     """E10 composite: reply + mention (+ optional semantic) links."""
-    questions, answers = split_qa(messages)
+    questions, answers = split_qa(messages, include_text=include_semantic)
     out = link_by_replies(questions, answers).unionByName(
         link_by_mentions(questions, answers))
     if include_semantic:

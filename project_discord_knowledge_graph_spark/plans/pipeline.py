@@ -14,10 +14,6 @@ section 3.1) as one lazy DAG:
       -> triples
 
 Shuffle budget: exactly three exchanges (two link joins + dedup).
-The classified messages DataFrame feeds both the extraction branch
-and the two link branches, so it is persisted when `cache_messages`
-is set (at real scale prefer writing the classified table once and
-reading it back — lineage table records the handoff).
 """
 
 from __future__ import annotations
@@ -37,10 +33,31 @@ def classify_pages(pages: DataFrame) -> DataFrame:
 
 
 def build_triples(pages: DataFrame, include_semantic: bool = False,
-                  embed_udf=None, cache_messages: bool = True) -> DataFrame:
-    """Full rule path: pages -> validated triple set."""
+                  embed_udf=None, cache_messages: bool = False,
+                  stage_dir: str | None = None,
+                  spark: SparkSession | None = None) -> DataFrame:
+    """Full rule path: pages -> validated triple set.
+
+    Branch-feeding strategy for the classified messages (consumed by
+    the extraction branch and the two link branches):
+
+    - `stage_dir` set (production shape): materialize the classified
+      table to parquet once and feed all branches from that scan —
+      the html decode + text-extraction UDF runs exactly once, and
+      the link branches read only their pruned join columns.  At
+      petabyte scale this is the Iceberg handoff between pipeline
+      stages.
+    - `cache_messages`: .persist() instead (measured slower than
+      recompute at small scale — columnar cache build cost).
+    - neither: recompute the narrow stage per branch (fine when the
+      corpus is small or the job is one-shot).
+    """
     messages = classify_pages(pages)
-    if cache_messages:
+    if stage_dir is not None:
+        assert spark is not None, "stage_dir requires the SparkSession"
+        messages.write.mode("overwrite").parquet(stage_dir)
+        messages = spark.read.parquet(stage_dir)
+    elif cache_messages:
         messages = messages.persist()
     extracted = extract_triples(messages)
     links = link_qa(messages, include_semantic, embed_udf)
@@ -50,4 +67,6 @@ def build_triples(pages: DataFrame, include_semantic: bool = False,
 def build_triples_from_path(spark: SparkSession, path: str,
                             after_ts: str | None = None,
                             **kw) -> DataFrame:
+    if "stage_dir" in kw:
+        kw.setdefault("spark", spark)
     return build_triples(read_pages(spark, path, after_ts), **kw)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.cleaning import clean_text_udf
+from ..functions.cleaning import extract_and_clean_udf
 from ..functions.html import extract_text_udf
 
 # ISO-8601 with +00:00 offset, matching Python datetime.isoformat()
@@ -44,18 +44,27 @@ def _meta(name: str):
 
 
 def pages_to_messages(pages: DataFrame,
-                      use_extracted_text: bool = True) -> DataFrame:
+                      include_content: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> preprocessed messages.
 
-    Runs text extraction from raw html (Arrow-batched pandas UDF) and
-    derives the reference's message fields from page metadata.  One
-    narrow stage: no shuffle, html/text pruned immediately after use.
+    Text extraction + P3 cleaning run fused in ONE Arrow-batched
+    pandas UDF (the whole downstream rule path consumes `clean_text`
+    only — the reference reads msg['clean_text'] in every extractor);
+    message fields derive from page metadata natively.  One narrow
+    stage: no shuffle, html pruned immediately after use.
+
+    P5 empty filter: the reference drops content.strip() == ''
+    (preprocessor.py:272-274).  P3 cleaning maps a string to '' iff
+    the input was whitespace-only (lower/collapse/strip never empty a
+    non-blank string, markup rewrites only substitute), so filtering
+    on clean_text == '' is equivalent and saves materializing the raw
+    content column.  Pass include_content=True to also keep the
+    uncleaned extracted text.
     """
     df = pages.withColumn("_html_str", F.col("html").cast("string"))
-    df = df.withColumn(
-        "content",
-        extract_text_udf(F.col("html")) if use_extracted_text
-        else F.col("text"))
+    df = df.withColumn("clean_text", extract_and_clean_udf(F.col("html")))
+    if include_content:
+        df = df.withColumn("content", extract_text_udf(F.col("html")))
 
     empty_as_null = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
 
@@ -63,7 +72,8 @@ def pages_to_messages(pages: DataFrame,
         "url",
         "warc_ts",
         "lang",
-        "content",
+        "clean_text",
+        *(["content"] if include_content else []),
         _meta("message-id").alias("message_id"),
         _meta("author").alias("author"),
         _meta("channel").alias("channel"),
@@ -77,11 +87,8 @@ def pages_to_messages(pages: DataFrame,
     # emits (keep both; string avoids reformat drift, SURVEY section 7)
     df = df.withColumn("timestamp", F.date_format("warc_ts", ISO_FMT))
 
-    # P5 empty filter (preprocessor.py:272-274)
-    df = df.where(F.length(F.trim(F.col("content"))) > 0)
-
-    # P3 cleaner (byte-parity pandas UDF)
-    df = df.withColumn("clean_text", clean_text_udf(F.col("content")))
+    # P5 empty filter (see docstring)
+    df = df.where(F.col("clean_text") != "")
 
     # segment id (preprocessor.py:140-166)
     thread_slug = F.concat(
