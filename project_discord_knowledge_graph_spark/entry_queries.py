@@ -650,6 +650,185 @@ FROM events GROUP BY event_type"""
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation queries: dedup family / ANN / text analytics
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from .operators.dataset import exact_dedup
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+         AS fingerprint,
+       min(doc_id) AS keep_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dups
+FROM documents GROUP BY 1"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from .operators.dataset import minhash_signatures
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return minhash_signatures(docs)
+
+
+SQL_DEDUP_MINHASH = """
+SELECT doc_id,
+       min(md5('a' || sub)) AS mh_a, min(md5('b' || sub)) AS mh_b,
+       min(md5('c' || sub)) AS mh_c, min(md5('d' || sub)) AS mh_d
+FROM (
+  SELECT doc_id, substr(text, t.i, 8) AS sub
+  FROM documents,
+       LATERAL unnest(generate_series(1, greatest(length(text) - 7, 1)))
+         AS t(i)
+  WHERE doc_id < 500)
+GROUP BY doc_id"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from .operators.dataset import simhash
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return simhash(docs)
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"CASE WHEN sum(2 * (ascii(substr(md5(w), {j + 1}, 1)) % 2) - 1)"
+        f" > 0 THEN '1' ELSE '0' END AS b{j}" for j in range(bits))
+    cat = " || ".join(f"b{j}" for j in range(bits))
+    return rf"""
+SELECT doc_id, {cat} AS simhash FROM (
+  SELECT doc_id, {sums}
+  FROM (SELECT doc_id, u.w
+        FROM documents,
+             LATERAL unnest(string_split_regex(trim(text), '\s+')) AS u(w)
+        WHERE doc_id < 500)
+  GROUP BY doc_id)"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    # unigram (word-set) Jaccard: the synthetic docs are word salad
+    # over a shared vocabulary, so 1-grams give informative overlap
+    # values; the operator itself supports any n.
+    from .operators.dataset import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.where(F.col("doc_id") < 10)
+    right = docs.where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(left, right, n_words=1, min_jaccard=0.3)
+
+
+SQL_DEDUP_NGRAM_JACCARD = r"""
+WITH ng AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\s+')) AS g
+  FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+FROM ng a, ng b
+WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.g, b.g))) >= 0.3"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from .operators.ann import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=3)
+
+
+SQL_ANN_COSINE_TOPK = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(
+             CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
+             6) DESC, c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+WHERE rank <= 3"""
+
+
+def q_text_metrics(spark, sf_dir):
+    from .functions.textmetrics import (
+        fingerprint_expr, lang_guess_expr, quality_score_expr,
+        token_count_expr, word_token_count_expr,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_guess_expr(F.col("text")).alias("lang_guess"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        word_token_count_expr(F.col("text")).alias("n_word_tokens"),
+        quality_score_expr(F.col("text")).alias("quality"),
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _sql_text_metrics() -> str:
+    from .functions.textmetrics import LANG_ORDER, STOPWORDS
+    hits = {lang: f"len(regexp_extract_all(text, '{pat}', 1))"
+            for lang, pat in STOPWORDS.items()}
+    best = f"greatest({', '.join(hits[lg] for lg in LANG_ORDER)})"
+    guess = "'und'"
+    for lang in reversed(LANG_ORDER):
+        guess = (f"CASE WHEN {hits[lang]} = {best} AND {best} > 0 "
+                 f"THEN '{lang}' ELSE {guess} END")
+    toks = (r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END")
+    wtoks = r"len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9])', 1))"
+    punct = (r"CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+             r"CAST(length(text) - length(regexp_replace(text, '[^\w\s]',"
+             r" '', 'g')) AS DOUBLE) / length(text) END")
+    len_score = (f"CASE WHEN {toks} < 5 THEN 0.0 WHEN {toks} < 20 THEN 0.5 "
+                 f"WHEN {toks} <= 2000 THEN 1.0 ELSE 0.7 END")
+    stop_score = f"CASE WHEN {hits['en']} > 0 THEN 1.0 ELSE 0.5 END"
+    punct_score = (f"CASE WHEN {punct} > 0.3 THEN 0.0 "
+                   f"WHEN {punct} > 0.1 THEN 0.5 ELSE 1.0 END")
+    return rf"""
+SELECT doc_id,
+       {guess} AS lang_guess,
+       CAST({toks} AS INTEGER) AS n_tokens,
+       CAST({wtoks} AS INTEGER) AS n_word_tokens,
+       round(CAST(0.5 * {len_score} + 0.25 * {stop_score}
+             + 0.25 * {punct_score} AS DOUBLE), 4) AS quality,
+       substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+              1, 16) AS fingerprint
+FROM documents"""
+
+
+SQL_TEXT_METRICS = _sql_text_metrics()
+
+
+def q_graph_components(spark, sf_dir):
+    """Connected-components canonicalization over a deterministic
+    user graph derived from events (iterative large-star/small-star
+    loop on the Spark side, recursive CTE in the oracle)."""
+    from .operators.components import connected_components
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 25).alias("dst")).distinct()
+    return connected_components(edges)
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT user_id AS u, (user_id * 7 + 3) % 25 AS v FROM events),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m)
+SELECT n AS node, min(m) AS component FROM reach GROUP BY n"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -677,4 +856,11 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
     "win_session_counts": (q_session_counts, SQL_SESSION_COUNTS),
     "agg_json_props": (q_json_props, SQL_JSON_PROPS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
+    "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
 }

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+Two strategies over an `array<float>` embedding column:
+
+- `cosine_topk` — exact brute force: broadcast the (small) query set,
+  score every (query, candidate) pair with a native zip_with dot
+  product, take top-k per query with a window.  The correctness
+  baseline; O(Q x N) but fully codegen'd and shuffle-free until the
+  final per-query top-k.
+- `lsh_topk` — the scale path: random-hyperplane (sign) LSH buckets;
+  candidates collide only within a bucket, so the join is equi on the
+  bucket key instead of a cross product.  Hyperplane components are
+  deterministic (hash-derived), so results are reproducible without
+  driver-side randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (native, no UDF)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by (cosine
+    desc, neighbor_id asc); self-matches excluded.  Similarity is
+    computed in double and rounded to 6 places *before* ranking so
+    the ordering is stable across engines/architectures.
+    """
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("c_vec"))
+    scored = (q.crossJoin(c)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", F.round(
+                  cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def _hyperplane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random +-1 from md5 parity of (plane,dim)."""
+    return (2 * (F.ascii(F.substring(
+        F.md5(F.lit(f"hp:{plane}:{dim}")), 1, 1)) % 2) - 1).cast("double")
+
+
+def with_lsh_bucket(df: DataFrame, n_planes: int = 12, dim: int = 64,
+                    vec_col: str = "embedding",
+                    out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature: bit p = sign(v . h_p), h_p a
+    deterministic +-1 vector.  Emits a bitstring bucket key."""
+    v = _as_double(vec_col)
+    bits = []
+    for p in range(n_planes):
+        dot = None
+        for d in range(dim):
+            term = F.element_at(v, d + 1) * _hyperplane_component(p, d)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out_col, F.concat(*bits))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             n_planes: int = 8, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on the signature), exact cosine re-rank within.
+    Recall tunes with n_planes (fewer planes = bigger buckets)."""
+    qb = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("q_vec"),
+                       F.col(vec_col)),
+        n_planes, dim).drop(vec_col)
+    cb = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("c_vec"),
+                      F.col(vec_col)),
+        n_planes, dim).drop(vec_col)
+    scored = (qb.join(cb, "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", F.round(
+                  cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 8, dim: int = 64,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing:
+    (id_a, id_b, sim) with sim >= threshold, id_a < id_b."""
+    b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("id"),
+                  _as_double(vec_col).alias("v"), F.col(vec_col)),
+        n_planes, dim).drop(vec_col)
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 "bucket")
+    return (a.join(c, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", F.round(cosine_expr(F.col("va"),
+                                                   F.col("vb")), 6))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim").distinct())

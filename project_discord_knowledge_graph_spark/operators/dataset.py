@@ -1,0 +1,142 @@
+"""Corpus-curation operators: the dedup family.
+
+Deduplication strategies a web-scale training-data pipeline needs,
+each expressed Spark-first:
+
+- exact: fingerprint groupBy, keep-min survivor (one shuffle).
+- minhash signatures: native explode/min over character shingles
+  (SQL-expressible, oracle-checked) — the banding building block.
+- minhash LSH near-dup pairs: ml.feature.MinHashLSH band-bucket join
+  (the scale path; bands hash to buckets, candidates only collide
+  within buckets).
+- simhash: per-document bit signature from word-hash majorities
+  (native bit ops via md5 hex-char parity; hamming-adjacent buckets
+  find near-dups).
+- n-gram Jaccard: exact set overlap for a bounded candidate set.
+- embedding cosine near-dup: see operators/ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MINHASH_SEEDS = ("a", "b", "c", "d")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, n_dups).  One hash shuffle on the
+    fingerprint; the fingerprint is uniform (md5) so never skewed.
+    """
+    from ..functions.textmetrics import fingerprint_expr
+    return (df
+            .withColumn("fingerprint", fingerprint_expr(F.col(text_col)))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("keep_id"),
+                 (F.count("*") - 1).alias("n_dups")))
+
+
+def _shingles_expr(text_col: str, k: int = 8) -> str:
+    return (f"transform(sequence(1, greatest(length({text_col}) - {k - 1},"
+            f" 1)), i -> substr({text_col}, i, {k}))")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """k-char-shingle MinHash with len(MINHASH_SEEDS) hash functions,
+    h_j(doc) = min over shingles of md5(seed_j || shingle).
+
+    Pure native plan: explode -> groupBy(min...) — one shuffle whose
+    key (doc id) is unique, so perfectly balanced.  md5-based hashing
+    keeps the signature engine-portable (same values in DuckDB).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.expr(_shingles_expr(text_col, k))).alias("sh"))
+    aggs = [F.min(F.md5(F.concat(F.lit(s), F.col("sh")))).alias(f"mh_{s}")
+            for s in MINHASH_SEEDS]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      jaccard_distance: float = 0.3,
+                      num_hash_tables: int = 6,
+                      shingle: int = 8) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH band bucketing
+    (shingle -> minhash -> band -> bucket-join).  Returns
+    (id_a, id_b, lsh_distance) with id_a < id_b."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    grams = df.select(
+        F.col(id_col),
+        F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+         .alias("shingles")).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feat = tf.transform(grams)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, jaccard_distance,
+                                       distCol="lsh_distance")
+    return (pairs.select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        F.round("lsh_distance", 6).alias("lsh_distance"))
+        .where(F.col("id_a") < F.col("id_b")))
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash bitstring).  explode words -> per-word md5 ->
+    groupBy id with per-bit signed sums -> concat bits."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+    per_bit = [
+        F.sum(2 * (F.ascii(F.substring(F.md5("w"), j + 1, 1)) % 2) - 1)
+         .alias(f"b{j}")
+        for j in range(bits)]
+    sums = words.groupBy(id_col).agg(*per_bit)
+    bitstr = F.concat(*[
+        F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)])
+    return sums.select(F.col(id_col), bitstr.alias("simhash"))
+
+
+def ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_words: int = 3,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact word-n-gram Jaccard between two (small x large) doc sets.
+
+    left is broadcast (the bounded query set); shingle sets compare
+    via native array_intersect/union.  Returns
+    (id_a, id_b, jaccard) for id_a != id_b.
+    """
+    def grams(df, suffix):
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        ng = F.expr(
+            f"array_distinct(transform(sequence(1, greatest("
+            f"size(split(trim({text_col}), '\\\\s+')) - {n_words - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}),"
+            f" '\\\\s+'), i, {n_words}))))")
+        _ = toks
+        return df.select(F.col(id_col).alias(f"id_{suffix}"),
+                         ng.alias(f"ng_{suffix}"))
+
+    a = F.broadcast(grams(left, "a"))
+    b = grams(right, "b")
+    return (a.crossJoin(b)
+            .where(F.col("id_a") != F.col("id_b"))
+            .withColumn("jaccard", F.round(
+                F.size(F.array_intersect("ng_a", "ng_b"))
+                / F.size(F.array_union("ng_a", "ng_b")), 6))
+            .where(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))

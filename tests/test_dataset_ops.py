@@ -1,0 +1,145 @@
+"""Dedup family, ANN, multimodal plumbing — unit tests for the
+operators whose scale path (LSH banding, bucketed ANN) is not
+SQL-expressible; the exact variants are oracle-checked in
+test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_discord_knowledge_graph_spark.operators.ann import (
+    cosine_topk, embedding_near_dup_pairs, lsh_topk,
+)
+from project_discord_knowledge_graph_spark.operators.dataset import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash,
+)
+from project_discord_knowledge_graph_spark.operators.multimodal import (
+    FEATURES_SCHEMA, MEDIA_SCHEMA, decode_media, frame_sample_plan,
+    media_repartition,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base + " with a tiny suffix change"),    # near dup of 0
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "  THE quick   brown fox jumps over the lazy dog again and again "),  # ws/case dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes(spark, docs):
+    out = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()}
+    # 0, 1 and 4 share a fingerprint (case/whitespace normalized)
+    assert out[0] == 2
+    assert out[2] == 0 and out[3] == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(docs, jaccard_distance=0.4,
+                                        shingle=6).collect()}
+    assert (0, 1) in pairs          # identical
+    assert (0, 2) in pairs          # near dup
+    assert not any(3 in p for p in pairs)  # unrelated stays out
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert sh[0] == sh[1]
+    # short docs carry a weak signal; near-dup must still be closer
+    assert ham(sh[0], sh[2]) <= 6
+    assert ham(sh[0], sh[3]) > ham(sh[0], sh[2])
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs.where(F.col("doc_id") == 0),
+                                        docs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(50):
+        angle = (i % 10) / 10 * math.pi / 2
+        vec = [math.cos(angle), math.sin(angle)] + [0.0] * 6
+        # id 40+: near-identical copies of id 0's direction
+        if i >= 40:
+            vec = [1.0, 0.001 * (i - 40)] + [0.0] * 6
+        rows.append((i, [float(x) for x in vec], i % 3))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors.where(F.col("vec_id") == 40), vectors, k=3)
+    rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
+    assert rows[0][1] == 0 or rows[0][1] in range(40, 50)
+    assert len(rows) == 3
+
+
+def test_lsh_topk_recall_vs_exact(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(queries, vectors, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(queries, vectors, k=3, n_planes=4,
+                                dim=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # loose: 4 planes on an 8-dim toy set
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = embedding_near_dup_pairs(vectors, threshold=0.999,
+                                     n_planes=4, dim=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the 40..49 block are near-identical directions
+    assert (40, 41) in got
+    assert all(a >= 40 or b >= 40 or a % 10 == b % 10 for a, b in got)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (f"img{i}", "image", bytes([i]) * (100 + i), "image/png",
+         10, 10, None) for i in range(5)
+    ] + [
+        ("vid0", "video", b"\x00" * 1000, "video/mp4", None, None, 3500),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_stub(spark, media):
+    out = decode_media(media)
+    assert out.schema == FEATURES_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows["img0"].n_bytes == 100
+    assert len(rows["img3"].feature) == 12
+    assert out.count() == 6
+
+
+def test_decode_media_requires_codec(spark, media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, require_real_codec=True).collect()
+
+
+def test_media_repartition_by_bytes(spark, media):
+    out = media_repartition(media, target_bytes=300)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 6
+
+
+def test_frame_sample_plan(spark, media):
+    frames = frame_sample_plan(media, every_ms=1000)
+    got = sorted(r.frame_ts_ms for r in frames.collect())
+    assert got == [0, 1000, 2000, 3000]
