@@ -1,0 +1,164 @@
+"""Per-partition lineage + checkpoint-resumable runs.
+
+BASELINE.json: "support checkpoint-resumable runs writing
+per-partition lineage rows (url-range, warc_ts watermark, triple
+counts, stage timings) to a metrics table".  The schema is modeled on
+the reference's SQLite `llm_calls` recorder
+(llm_powered/llm_call_recorder.py:180-228) reduced to the
+partition-progress fields.
+
+Unit of work: a url-hash bucket (deterministic `pmod(xxhash64(url),
+n_buckets)`), the engine's "url-range".  Each bucket runs the full
+rule path, lands its triples under `triples/bucket=<b>/` (dynamic
+partition overwrite -> idempotent re-runs), then appends one lineage
+row.  Resume = anti-join completed buckets from the lineage table —
+a crashed run re-processes only unfinished buckets, and re-running a
+finished bucket replaces its output in place (MERGE-equivalent under
+the bucket key).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+LINEAGE_SCHEMA = StructType([
+    StructField("run_id", StringType(), False),
+    StructField("stage", StringType(), False),
+    StructField("bucket", LongType(), False),
+    StructField("url_range_start", StringType(), True),
+    StructField("url_range_end", StringType(), True),
+    StructField("warc_ts_watermark", TimestampType(), True),
+    StructField("rows_in", LongType(), True),
+    StructField("triples_out", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("status", StringType(), False),
+    StructField("created_at", TimestampType(), False),
+])
+
+
+def bucket_expr(url_col: str = "url", n_buckets: int = 16):
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets))
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str,
+                      stage: str) -> set[int]:
+    try:
+        lin = spark.read.parquet(lineage_path)
+    except Exception:
+        return set()
+    rows = (lin.where((F.col("stage") == stage)
+                      & (F.col("status") == "completed"))
+            .select("bucket").distinct().collect())
+    return {r.bucket for r in rows}
+
+
+def _append_lineage(spark: SparkSession, lineage_path: str,
+                    row: dict) -> None:
+    import datetime as dt
+    full = {f.name: row.get(f.name) for f in LINEAGE_SCHEMA.fields}
+    full["created_at"] = dt.datetime.now(dt.timezone.utc)
+    spark.createDataFrame([tuple(full[f.name] for f in LINEAGE_SCHEMA.fields)],
+                          LINEAGE_SCHEMA) \
+        .write.mode("append").parquet(lineage_path)
+
+
+def run_resumable(spark: SparkSession, pages_path: str, out_path: str,
+                  lineage_path: str, n_buckets: int = 8,
+                  run_id: str | None = None,
+                  max_buckets: int | None = None) -> dict:
+    """Checkpoint-resumable extraction run.
+
+    Two lineage stages:
+    1. `messages` — per url-hash bucket, the expensive narrow stage
+       (html decode + text extraction UDF + classify) lands under
+       `<out>/messages/bucket=<b>/` with one lineage row each.  A
+       crashed run resumes at the first unfinished bucket.  NOTE the
+       bucket key is the url hash, which splits Q/A threads across
+       buckets — that is exactly why linking is NOT per-bucket:
+    2. `aggregate` — once all buckets are complete, one global stage
+       reads the staged messages and runs extraction + Q&A link joins
+       + dedup/validation (segment-locality preserved), overwriting
+       `<out>/triples`.  Cheap relative to stage 1; recomputed on
+       resume, idempotent (full overwrite).
+
+    `max_buckets` caps stage-1 buckets this invocation (tests use it
+    to simulate a crash; production just re-invokes after failure).
+    Returns a summary dict.
+    """
+    from ..operators.dedup import aggregate_triples
+    from ..operators.extract import extract_triples
+    from ..operators.link import link_qa
+    from .pipeline import classify_pages
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    run_id = run_id or uuid.uuid4().hex[:12]
+    msg_path = f"{out_path}/messages"
+    triples_path = f"{out_path}/triples"
+
+    done = completed_buckets(spark, lineage_path, "messages")
+    todo = [b for b in range(n_buckets) if b not in done]
+    if max_buckets is not None:
+        todo = todo[:max_buckets]
+
+    pages = spark.read.parquet(pages_path) \
+        .withColumn("_bucket", bucket_expr("url", n_buckets))
+
+    for b in todo:
+        t0 = time.perf_counter()
+        part = pages.where(F.col("_bucket") == b).drop("_bucket")
+        stats = part.select(
+            F.count("*").alias("rows_in"),
+            F.min("url").alias("url_min"),
+            F.max("url").alias("url_max"),
+            F.max("warc_ts").alias("wm")).first()
+        msgs = classify_pages(part).withColumn("bucket", F.lit(b))
+        msgs.write.mode("overwrite").partitionBy("bucket").parquet(msg_path)
+        n_out = spark.read.parquet(msg_path) \
+            .where(F.col("bucket") == b).count()
+        _append_lineage(spark, lineage_path, {
+            "run_id": run_id, "stage": "messages", "bucket": b,
+            "url_range_start": stats.url_min,
+            "url_range_end": stats.url_max,
+            "warc_ts_watermark": stats.wm,
+            "rows_in": stats.rows_in, "triples_out": n_out,
+            "duration_ms": int((time.perf_counter() - t0) * 1000),
+            "status": "completed",
+        })
+
+    remaining = n_buckets - len(completed_buckets(spark, lineage_path,
+                                                  "messages"))
+    if remaining > 0:
+        return {"run_id": run_id, "processed": len(todo),
+                "skipped": len(done), "triples_out": 0,
+                "pending_buckets": remaining}
+
+    t0 = time.perf_counter()
+    msgs = spark.read.parquet(msg_path)
+    triples = aggregate_triples(extract_triples(msgs), link_qa(msgs))
+    triples.write.mode("overwrite").parquet(triples_path)
+    n_triples = spark.read.parquet(triples_path).count()
+    _append_lineage(spark, lineage_path, {
+        "run_id": run_id, "stage": "aggregate", "bucket": -1,
+        "rows_in": msgs.count(), "triples_out": n_triples,
+        "duration_ms": int((time.perf_counter() - t0) * 1000),
+        "status": "completed",
+    })
+    return {"run_id": run_id, "processed": len(todo),
+            "skipped": len(done), "triples_out": n_triples,
+            "pending_buckets": 0}
+
+
+def observe_counts(df: DataFrame, name: str):
+    """Attach an Observation measuring row counts for a stage — the
+    P6-style error side-count (nodes.py:71-77) without a second scan.
+    Returns (df, observation); read observation.get after an action.
+    """
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs

@@ -1,0 +1,119 @@
+"""JSONL round-trip, semantic linker (J3), zero-shot plumbing (C2)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from project_discord_knowledge_graph_spark.operators.classify import (
+    classify_zero_shot,
+)
+from project_discord_knowledge_graph_spark.operators.link import (
+    link_by_similarity, link_qa, split_qa,
+)
+from project_discord_knowledge_graph_spark.sources.jsonl import (
+    read_jsonl, write_jsonl,
+)
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("α-entity", "asks_about", None, 0.85),
+         ("user2", "alerts", "über-alert ✓", 0.8)],
+        ["subject", "predicate", "object", "confidence"])
+    out = str(tmp_path / "triples_jsonl")
+    write_jsonl(df, out)
+
+    import glob
+    lines = []
+    for f in sorted(glob.glob(f"{out}/part-*")):
+        lines += open(f, encoding="utf-8").read().splitlines()
+    objs = sorted((json.loads(ln) for ln in lines),
+                  key=lambda o: o["subject"])
+    # nulls kept, utf-8 unescaped, field order preserved
+    assert objs[1]["object"] is None
+    assert objs[0]["object"] == "über-alert ✓"
+    assert list(objs[0].keys()) == ["subject", "predicate", "object",
+                                    "confidence"]
+    assert "\\u" not in lines[0] + lines[1]
+
+    back = read_jsonl(spark, out)
+    assert back.count() == 2
+
+
+@pytest.fixture()
+def qa_messages(spark):
+    rows = [
+        # same segment, q then close/far answers
+        ("q1", "seg", "alice", "2024-01-01T10:00:00+00:00",
+         "2024-01-01 10:00:00", "question", None, [],
+         "how do i size the wheel on tqqq?"),
+        ("a1", "seg", "bob", "2024-01-01T10:05:00+00:00",
+         "2024-01-01 10:05:00", "answer", None, [],
+         "size the wheel on tqqq small, scale in slowly"),
+        ("a2", "seg", "carol", "2024-01-01T10:30:00+00:00",
+         "2024-01-01 10:30:00", "answer", None, [],
+         "size the wheel on tqqq small"),  # outside 10-min window
+        ("a3", "seg", "dan", "2024-01-01T10:06:00+00:00",
+         "2024-01-01 10:06:00", "answer", None, [],
+         "coffee break chat totally unrelated words here"),
+    ]
+    schema = ("message_id string, segment_id string, author string, "
+              "timestamp string, ts_str string, type string, "
+              "reply_to string, mentions array<string>, clean_text string")
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("warc_ts", F.col("ts_str").cast("timestamp")) \
+             .drop("ts_str")
+
+
+def test_semantic_linker_with_injected_embedder(spark, qa_messages):
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        # deterministic bag-of-words hash embedder
+        def vec(t):
+            v = [0.0] * 16
+            for w in (t or "").split():
+                v[hash(w) % 16] += 1.0
+            return v
+        return texts.map(vec)
+
+    questions, answers = split_qa(qa_messages, include_text=True)
+    links = link_by_similarity(questions, answers, embed_udf=embed,
+                               threshold=0.3)
+    got = {(r.subject, r.object): r.confidence for r in links.collect()}
+    assert ("q1", "a1") in got          # similar + inside window
+    assert ("q1", "a2") not in got      # outside 10-minute window
+    assert ("q1", "a3") not in got      # dissimilar text
+    assert 0.3 < got[("q1", "a1")] <= 1.0  # confidence = cosine
+
+    # composite: include_semantic threads the embedder through
+    all_links = link_qa(qa_messages, include_semantic=True,
+                        embed_udf=embed)
+    methods = {r.message_id.split("_")[1] for r in all_links.collect()}
+    assert "semantic" in methods
+
+
+def test_zero_shot_plumbing_with_fake_model(spark):
+    df = spark.createDataFrame(
+        [("m1", "buy the dip"), ("m2", ""), ("m3", "what now?")],
+        ["message_id", "clean_text"])
+
+    def fake_infer(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": ["signal" if "buy" in t else "question"
+                      for t in texts],
+            "score": [0.9] * len(texts),
+        })
+
+    out = {r.message_id: (r.type, r.confidence)
+           for r in classify_zero_shot(df, infer_fn=fake_infer).collect()}
+    assert out["m1"] == ("signal", 0.9)
+    assert out["m2"] == ("alert", 0.5)   # empty-text default
+    assert out["m3"] == ("question", 0.9)
+
+    with pytest.raises(NotImplementedError):
+        classify_zero_shot(df)
