@@ -136,7 +136,10 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
 
     for name in ("kg_triples_dedup", "kg_link_replies", "kg_link_mentions",
                  "kg_classify_counts", "tpch_q1_pricing", "tpch_q3_topk",
-                 "win_session_counts", "agg_hourly_events"):
+                 "win_session_counts", "agg_hourly_events",
+                 "dedup_exact", "dedup_minhash_signatures",
+                 "ann_cosine_topk", "text_metrics", "graph_components",
+                 "cmp_extract_variants"):
         fn, _sql = EQ.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 

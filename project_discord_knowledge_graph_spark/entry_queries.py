@@ -829,6 +829,212 @@ SELECT n AS node, min(m) AS component FROM reach GROUP BY n"""
 
 
 # ---------------------------------------------------------------------------
+# J5/A10 comparison join, S9 sampler, W1 lag, scalar families
+# ---------------------------------------------------------------------------
+
+_VARIANT_TYPES = ("question", "alert", "performance", "strategy",
+                  "analysis", "performance", "discussion", "signal",
+                  "question", "alert", "answer", "answer")
+
+
+def q_cmp_extract_variants(spark, sf_dir):
+    """J5/A10: rule-path extraction vs a second 'variant' extraction
+    (preset types), full-outer joined per message with predicate-set
+    overlap sizes and the reference's disagreement flag
+    (abs count diff >= 2, extraction/app.py:918-940)."""
+    msgs = docs_messages(spark, sf_dir)
+    rule = extract_triples(msgs)
+    variant_type = F.element_at(
+        F.array(*[F.lit(t) for t in _VARIANT_TYPES]),
+        ((F.col("doc_id") % 12) + 1).cast("int"))
+    variant = extract_triples(msgs.withColumn("type", variant_type))
+
+    def per_msg(t, prefix):
+        return t.groupBy("message_id").agg(
+            F.count("*").alias(f"n_{prefix}"),
+            F.collect_set("predicate").alias(f"preds_{prefix}"))
+
+    joined = per_msg(rule, "rule").join(per_msg(variant, "llm"),
+                                        "message_id", "full_outer")
+    empty = F.array().cast("array<string>")
+    pr = F.coalesce("preds_rule", empty)
+    pl = F.coalesce("preds_llm", empty)
+    nr = F.coalesce("n_rule", F.lit(0))
+    nl = F.coalesce("n_llm", F.lit(0))
+    return joined.select(
+        "message_id",
+        nr.alias("n_rule"), nl.alias("n_llm"),
+        F.size(F.array_intersect(pr, pl)).alias("n_common_preds"),
+        F.size(F.array_union(pr, pl)).alias("n_all_preds"),
+        (F.abs(nr - nl) >= 2).alias("disagreement"))
+
+
+def _sql_variant_extract_ctes() -> str:
+    """The variant extraction as SQL: same branch logic, type preset
+    by doc_id % 12 (mirrors _VARIANT_TYPES)."""
+    whens = "\n".join(f"WHEN {i} THEN '{t}'"
+                      for i, t in enumerate(_VARIANT_TYPES))
+    return f"""
+vmsgs AS (
+  SELECT dbase.*, CASE CAST(doc_id % 12 AS INTEGER) {whens}
+                  ELSE 'discussion' END AS type
+  FROM dbase),
+vq0 AS (
+  SELECT *, {_strip_sql(f"regexp_replace(clean_text, '{C.QUESTION_TOPIC_STRIP}', '', 'g')")} AS t1
+  FROM vmsgs WHERE type = 'question'),
+vq1 AS (SELECT *, {_trunc_sql('t1', 80)} AS t2 FROM vq0),
+vs AS (SELECT * FROM vmsgs WHERE type = 'strategy'),
+vsig AS (SELECT *, {_ASSETS_SQL} AS assets, {_ACTIONS_SQL} AS actions
+         FROM vmsgs WHERE type = 'signal'),
+vp AS (SELECT * FROM vmsgs WHERE type = 'performance'
+       AND regexp_matches(clean_text, '{C.RETURN_KEYWORDS}')),
+van AS (SELECT *, {_ASSETS_SQL} AS assets FROM vmsgs
+        WHERE type = 'analysis'),
+vd AS (SELECT *, {_ASSETS_SQL} AS assets FROM vmsgs
+       WHERE type = 'discussion'),
+vallt AS (
+  SELECT 'asks_about' AS predicate, message_id FROM vq1
+  UNION ALL
+  SELECT 'provides_info', message_id FROM vmsgs WHERE type = 'answer'
+  UNION ALL
+  SELECT 'alerts', message_id FROM vmsgs WHERE type = 'alert'
+  UNION ALL
+  SELECT 'recommends', message_id
+  FROM vs, LATERAL unnest(regexp_extract_all(clean_text,
+       '{C.STRATEGY_PATTERN}', 1)) AS u(h)
+  UNION ALL
+  SELECT 'discusses_strategy', message_id
+  FROM vs WHERE NOT regexp_matches(clean_text, '{C.STRATEGY_PATTERN}')
+  UNION ALL
+  SELECT 'recommends_' || v.act, message_id
+  FROM vsig, LATERAL unnest(assets) AS u(a),
+       LATERAL unnest(actions) AS v(act)
+  WHERE length(actions) > 0
+  UNION ALL
+  SELECT 'mentions_asset', message_id
+  FROM vsig, LATERAL unnest(assets) AS u(a) WHERE length(actions) = 0
+  UNION ALL
+  SELECT 'reports_return', message_id
+  FROM vp, LATERAL unnest(regexp_extract_all(clean_text,
+       '{C.PERFORMANCE_PATTERN}', 1)) AS u(pct)
+  UNION ALL
+  SELECT 'analyzes', message_id
+  FROM van, LATERAL unnest(assets) AS u(a) WHERE length(assets) > 0
+  UNION ALL
+  SELECT 'provides_analysis', message_id FROM van WHERE length(assets) = 0
+  UNION ALL
+  SELECT 'discusses', message_id
+  FROM vd, LATERAL unnest(regexp_extract_all(clean_text,
+       '{C.PLATFORM_PATTERN}', 1)) AS u(p)
+  UNION ALL
+  SELECT 'shares_opinion', message_id
+  FROM vd, LATERAL unnest(assets) AS u(a))"""
+
+
+SQL_CMP_EXTRACT_VARIANTS = (SQL_EXTRACT_ALL_CTES + ","
+                            + _sql_variant_extract_ctes() + """
+, rule_agg AS (
+  SELECT message_id, count(*) AS n_rule,
+         list_distinct(list(predicate)) AS preds
+  FROM allt GROUP BY message_id),
+llm_agg AS (
+  SELECT message_id, count(*) AS n_llm,
+         list_distinct(list(predicate)) AS preds
+  FROM vallt GROUP BY message_id)
+SELECT coalesce(r.message_id, l.message_id) AS message_id,
+       coalesce(r.n_rule, 0) AS n_rule,
+       coalesce(l.n_llm, 0) AS n_llm,
+       len(list_intersect(coalesce(r.preds, []), coalesce(l.preds, [])))
+         AS n_common_preds,
+       len(list_distinct(list_concat(coalesce(r.preds, []),
+                                     coalesce(l.preds, []))))
+         AS n_all_preds,
+       abs(coalesce(r.n_rule, 0) - coalesce(l.n_llm, 0)) >= 2
+         AS disagreement
+FROM rule_agg r FULL OUTER JOIN llm_agg l ON r.message_id = l.message_id""")
+
+
+def q_sample_first_last(spark, sf_dir):
+    """S9 sampler: first-N / last-N by timestamp with deterministic
+    tie-breaks (create_sample.py:12-46)."""
+    ev = _t(spark, sf_dir, "events")
+    first = (ev.orderBy("ts", "event_id").limit(5)
+             .select("event_id", F.lit("first").alias("which")))
+    last = (ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(5)
+            .select("event_id", F.lit("last").alias("which")))
+    return first.unionByName(last)
+
+
+SQL_SAMPLE_FIRST_LAST = """
+SELECT event_id, 'first' AS which FROM
+  (SELECT event_id FROM events ORDER BY ts, event_id LIMIT 5)
+UNION ALL
+SELECT event_id, 'last' AS which FROM
+  (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 5)"""
+
+
+def q_win_lag_delta(spark, sf_dir):
+    """W1/W3: per-user ordering with lag — value delta vs previous
+    event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4)
+         .alias("value_delta"))
+
+
+SQL_WIN_LAG_DELTA = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 4)
+         AS value_delta
+FROM events"""
+
+
+def q_url_domains(spark, sf_dir):
+    """Scalar/url family: domain = split(url,'/')[2]
+    (streamlit_app.py:362-364) over urls derived from documents."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/d/"),
+                   F.col("doc_id").cast("string"))
+    return (docs.select(F.split(url, "/").getItem(2).alias("domain"))
+            .groupBy("domain").agg(F.count("*").alias("n")))
+
+
+SQL_URL_DOMAINS = """
+SELECT string_split('https://' || source || '.example.com/d/'
+                    || CAST(doc_id AS VARCHAR), '/')[3] AS domain,
+       count(*) AS n
+FROM documents GROUP BY 1"""
+
+
+def q_embed_stats(spark, sf_dir):
+    """A12-family array aggregates over the embedding column: size,
+    L2 norm, mean component (native aggregate/transform)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sumsq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_component"))
+
+
+SQL_EMBED_STATS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x * x))), 6) AS l2_norm,
+       round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6)
+         AS mean_component
+FROM embeddings"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -863,4 +1069,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
+    "cmp_extract_variants": (q_cmp_extract_variants,
+                             SQL_CMP_EXTRACT_VARIANTS),
+    "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    "agg_embed_stats": (q_embed_stats, SQL_EMBED_STATS),
 }

@@ -1,0 +1,99 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These tests pin the *plan shape*, not results: predicate pushdown to
+the scan, column pruning, broadcast joins for small dims, no repeated
+evaluation of the expensive pandas UDF, and the extraction pass
+staying shuffle-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_discord_knowledge_graph_spark.operators.classify import (
+    with_type,
+)
+from project_discord_knowledge_graph_spark.operators.extract import (
+    extract_triples,
+)
+from project_discord_knowledge_graph_spark.sources.pages import (
+    pages_to_messages, read_pages,
+)
+from project_discord_knowledge_graph_spark.sources.synth import pages_df
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_df(spark, 100, seed=5).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_watermark_pushdown_to_scan(spark, pages_path):
+    df = read_pages(spark, pages_path, after_ts="2024-01-01 01:00:00")
+    plan = _plan(pages_to_messages(df))
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "warc_ts" in scan and "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(warc_ts",
+                     plan)
+
+
+def test_column_pruning_on_scan(spark, pages_path):
+    # a query touching only html must not read text from parquet
+    df = read_pages(spark, pages_path)
+    msgs = pages_to_messages(df).select("message_id", "author")
+    scan = next(ln for ln in _plan(msgs).splitlines() if "FileScan" in ln)
+    assert "text" not in scan.split("ReadSchema")[-1]
+
+
+def test_udf_evaluated_once(spark, pages_path):
+    """The filter on clean_text must not duplicate the pandas UDF
+    (the nondeterministic marking prevents pushdown re-eval)."""
+    msgs = pages_to_messages(read_pages(spark, pages_path))
+    plan = _plan(msgs)
+    assert plan.count("extract_and_clean_udf") == 1
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_extraction_is_shuffle_free(spark, pages_path):
+    msgs = with_type(pages_to_messages(read_pages(spark, pages_path)))
+    plan = _plan(extract_triples(msgs))
+    assert "Exchange" not in plan  # one narrow pass, zero shuffles
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    from project_discord_knowledge_graph_spark.entry_queries import q_tpch_q3
+    plan = _plan(q_tpch_q3(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_stays_jvm_side(spark, pages_path):
+    """C1 must compile to native RLIKE expressions inside a Project
+    (zero Python evaluation beyond the single text-extraction UDF),
+    and the scan must prune to the one needed column."""
+    msgs = with_type(pages_to_messages(read_pages(spark, pages_path)))
+    plan = _plan(msgs.groupBy("type").count())
+    assert plan.count("ArrowEvalPython") == 1  # only the text UDF
+    assert "RLIKE" in plan
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "ReadSchema: struct<html:binary>" in scan
+
+
+def test_mention_link_join_is_hash_equi(spark, pages_path):
+    """J2's equi part (segment, author) must hash; the 10-minute
+    window must be a residual condition, not a cross join."""
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_mentions, split_qa,
+    )
+    msgs = with_type(pages_to_messages(read_pages(spark, pages_path)))
+    q, a = split_qa(msgs)
+    plan = _plan(link_by_mentions(q, a))
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
