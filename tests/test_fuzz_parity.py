@@ -1,0 +1,115 @@
+"""Fuzz parity: adversarial random text through the Spark operators
+vs the pure-Python oracle port, byte-for-byte.
+
+Stronger than the corpus parity test: the generator emits hostile
+inputs (unicode, Discord markup, runs of whitespace/newlines, regex
+metacharacters, percentages, mixed case, empty-ish strings) and every
+cleaned string / classification / extracted triple list must agree
+exactly.  One Spark job for all examples (per-example round-trips
+would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_discord_knowledge_graph_spark.functions.cleaning import (
+    clean_text_classifier_udf, clean_text_udf,
+)
+from project_discord_knowledge_graph_spark.operators.classify import (
+    classify_expr,
+)
+from project_discord_knowledge_graph_spark.operators.extract import (
+    extract_triples,
+)
+from project_discord_knowledge_graph_spark.oracle import reference_port as ref
+
+_WORDS = ["buy", "SELL", "hodl", "TQQQ", "btc", "wheel", "covered call",
+          "alert", "fomc", "what", "how", "anyone", "thoughts", "?",
+          "+15%", "-3.5%", "profit", "lost", "made", "analysis",
+          "outlook", "robinhood", "composer", "über", "naïve", "日本語",
+          "<@123>", "<@!456>", "<#789>", "<@&321>", "<:fire:999>",
+          "a" * 120, "\n", "\n\n\n\n", "\t\t", "   ", ".*", "(x|y)",
+          "[z]", "\\b", "100%", "%", "strategy", "it's", '"quoted"',
+          "emoji 🚀", ""]
+
+
+def _fuzz_texts(n: int, seed: int = 99) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randrange(1, 25)
+        sep = rng.choice([" ", "  ", " \t ", "\n", " "])
+        out.append(sep.join(rng.choice(_WORDS) for _ in range(k)))
+    out += ["", " ", "\n\n\n", "?", "what is", "x" * 500]
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzz_df(spark):
+    texts = _fuzz_texts(2000)
+    return texts, spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], ["id", "content"])
+
+
+def test_cleaners_byte_identical(fuzz_df):
+    texts, df = fuzz_df
+    rows = df.select(
+        "id",
+        clean_text_udf(F.col("content")).alias("p3"),
+        clean_text_classifier_udf(F.col("content")).alias("p4"),
+    ).collect()
+    for r in rows:
+        t = texts[int(r.id)]
+        assert r.p3 == ref.clean_text_preprocessor(t), repr(t)
+        assert r.p4 == ref.clean_text_classifier(t), repr(t)
+
+
+def test_classifier_parity_on_fuzz(fuzz_df):
+    texts, df = fuzz_df
+    cleaned = df.select(
+        "id", clean_text_udf(F.col("content")).alias("clean_text"))
+    rows = cleaned.select(
+        "id", "clean_text",
+        classify_expr(F.col("clean_text")).alias("type")).collect()
+    for r in rows:
+        want = ref.classify(r.clean_text)
+        assert r.type == want, repr(r.clean_text)
+
+
+def test_extraction_parity_on_fuzz(spark, fuzz_df):
+    texts, df = fuzz_df
+    msgs = (df.select(
+        F.col("id").alias("message_id"),
+        F.lit("seg").alias("segment_id"),
+        F.lit("2024-01-01T00:00:00+00:00").alias("timestamp"),
+        F.lit("author").alias("author"),
+        clean_text_udf(F.col("content")).alias("clean_text"))
+        .withColumn("type", classify_expr(F.col("clean_text"))))
+
+    got: dict[str, set] = {}
+    for r in extract_triples(msgs).collect():
+        got.setdefault(r.message_id, set()).add(
+            (r.predicate, r.object, round(r.confidence, 6)))
+
+    oracle_msgs = [dict(message_id=r.message_id, segment_id="seg",
+                        timestamp="2024-01-01T00:00:00+00:00",
+                        author="author", clean_text=r.clean_text,
+                        type=ref.classify(r.clean_text))
+                   for r in msgs.select("message_id", "clean_text")
+                   .collect()]
+    want: dict[str, set] = {}
+    for m in oracle_msgs:
+        fn = ref._STRATEGIES.get(m["type"])
+        for t in (fn(m) if fn else []):
+            want.setdefault(m["message_id"], set()).add(
+                (t["predicate"], t["object"], round(t["confidence"], 6)))
+
+    assert got == want, {
+        k: (got.get(k), want.get(k))
+        for k in set(got) ^ set(want) | {
+            k for k in set(got) & set(want) if got[k] != want[k]}
+    }
