@@ -34,12 +34,13 @@ PAGES_CACHE = "/tmp/kg_bench"
 
 
 def _pages_count(sf_dir: str) -> int:
-    # 10x the documents table: sf0.1 -> 50_000 pages (enough real work
-    # that per-task overhead amortizes, still seconds-scale locally)
+    # 40x the documents table: sf0.1 -> 200_000 pages (enough real
+    # work that per-task overhead amortizes and throughput reflects
+    # steady state, still ~15s at 32 cores)
     import duckdb
     n = duckdb.sql(
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
-    return max(int(n) * 10, 2000)
+    return max(int(n) * 40, 2000)
 
 
 def ensure_pages(spark, sf_dir: str, n: int | None = None) -> tuple[str, int]:
@@ -91,7 +92,10 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
     import shutil
 
     def pipeline_once():
-        stage = f"/tmp/kg_bench/stage_{os.getpid()}"
+        # /dev/shm staging: locally the disk is the one resource that
+        # does NOT scale with cores; tmpfs emulates the per-executor
+        # fast storage a real cluster brings
+        stage = f"/dev/shm/kg_bench_stage_{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         n = build_triples_from_path(spark, pages_path,
                                     stage_dir=stage).count()

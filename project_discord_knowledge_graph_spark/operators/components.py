@@ -19,7 +19,9 @@ Scale notes:
   list; AQE handles skewed hub nodes (skew-join splitting is on in
   session.py).
 - lineage is cut with localCheckpoint every `checkpoint_every`
-  rounds — without it the iterative plan grows exponentially.
+  rounds (default every round: the label table is tiny relative to
+  the edges, and without the cut the convergence-check action would
+  re-evaluate the whole iteration chain).
 - convergence check is one count() per round on the changed set.
 """
 
@@ -30,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 50,
-                         checkpoint_every: int = 3) -> DataFrame:
+                         checkpoint_every: int = 1) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min
     member id of the node's connected component (ids compare by the
     column's natural ordering; strings compare lexicographically).

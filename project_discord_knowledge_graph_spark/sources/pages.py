@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.cleaning import extract_and_clean_udf
+from ..functions.cleaning import parse_page_udf
 from ..functions.html import extract_text_udf
 
 # ISO-8601 with +00:00 offset, matching Python datetime.isoformat()
@@ -38,20 +38,15 @@ def read_pages(spark: SparkSession, path: str,
     return df
 
 
-def _meta(name: str):
-    return F.regexp_extract(
-        F.col("_html_str"), f'<meta name="{name}" content="([^"]*)">', 1)
-
-
 def pages_to_messages(pages: DataFrame,
                       include_content: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> preprocessed messages.
 
-    Text extraction + P3 cleaning run fused in ONE Arrow-batched
-    pandas UDF (the whole downstream rule path consumes `clean_text`
-    only — the reference reads msg['clean_text'] in every extractor);
-    message fields derive from page metadata natively.  One narrow
-    stage: no shuffle, html pruned immediately after use.
+    Text extraction + P3 cleaning + metadata parse run fused in ONE
+    Arrow-batched pandas UDF (the whole downstream rule path consumes
+    `clean_text` only — the reference reads msg['clean_text'] in
+    every extractor).  One narrow stage: no shuffle, html pruned
+    immediately after use, single pass over each page's bytes.
 
     P5 empty filter: the reference drops content.strip() == ''
     (preprocessor.py:272-274).  P3 cleaning maps a string to '' iff
@@ -61,8 +56,7 @@ def pages_to_messages(pages: DataFrame,
     content column.  Pass include_content=True to also keep the
     uncleaned extracted text.
     """
-    df = pages.withColumn("_html_str", F.col("html").cast("string"))
-    df = df.withColumn("clean_text", extract_and_clean_udf(F.col("html")))
+    df = pages.withColumn("_p", parse_page_udf(F.col("html")))
     if include_content:
         df = df.withColumn("content", extract_text_udf(F.col("html")))
 
@@ -72,15 +66,17 @@ def pages_to_messages(pages: DataFrame,
         "url",
         "warc_ts",
         "lang",
-        "clean_text",
+        F.col("_p.clean_text").alias("clean_text"),
         *(["content"] if include_content else []),
-        _meta("message-id").alias("message_id"),
-        _meta("author").alias("author"),
-        _meta("channel").alias("channel"),
-        empty_as_null(_meta("thread")).alias("thread"),
-        empty_as_null(_meta("reply-to")).alias("reply_to"),
-        F.when(_meta("mentions") == "", F.array().cast("array<string>"))
-         .otherwise(F.split(_meta("mentions"), ",")).alias("mentions"),
+        F.col("_p.message_id").alias("message_id"),
+        F.col("_p.author").alias("author"),
+        F.col("_p.channel").alias("channel"),
+        empty_as_null(F.col("_p.thread")).alias("thread"),
+        empty_as_null(F.col("_p.reply_to")).alias("reply_to"),
+        F.when(F.col("_p.mentions_csv") == "",
+               F.array().cast("array<string>"))
+         .otherwise(F.split(F.col("_p.mentions_csv"), ","))
+         .alias("mentions"),
     )
 
     # P2 timestamp normalize: typed ts + the ISO string the reference

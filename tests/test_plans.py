@@ -58,7 +58,7 @@ def test_udf_evaluated_once(spark, pages_path):
     (the nondeterministic marking prevents pushdown re-eval)."""
     msgs = pages_to_messages(read_pages(spark, pages_path))
     plan = _plan(msgs)
-    assert plan.count("extract_and_clean_udf") == 1
+    assert plan.count("parse_page_udf") == 1
     assert plan.count("ArrowEvalPython") == 1
 
 
