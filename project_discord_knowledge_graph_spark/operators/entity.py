@@ -29,8 +29,30 @@ from .components import connected_components
 
 N_SALTS = 16
 
+# Predicates whose OBJECT is an entity mention (assets, strategies,
+# platforms, analysis targets).  Objects of the other predicates are
+# free-text snippets (asks_about topics, provides_info content, alert
+# bodies) — linking those is both semantically wrong and a scale
+# hazard: at 8M pages they contribute ~2M distinct prose strings
+# whose shared character shingles collapse the LSH bands into giant
+# buckets (measured: the similarity join stops progressing).
+ENTITY_OBJECT_PREDICATES = (
+    "mentions_asset", "recommends_buy", "recommends_sell",
+    "recommends_hold", "analyzes", "shares_opinion", "discusses",
+    "recommends",
+)
 
-def extract_mentions(triples: DataFrame) -> DataFrame:
+# Structural predicates whose subject/object are message ids, not
+# entities (answered_by links q_id -> a_id).  Including them would
+# feed ~1 id-mention per message into the linker — at 8M pages that
+# is ~900k opaque ids, which is both meaningless to canonicalize and
+# the dominant LSH cost (measured before the fix).
+STRUCTURAL_PREDICATES = ("answered_by",)
+
+
+def extract_mentions(triples: DataFrame,
+                     object_predicates: tuple[str, ...]
+                     = ENTITY_OBJECT_PREDICATES) -> DataFrame:
     """Triples -> distinct mention strings with occurrence counts.
 
     The count aggregation uses explicit salting: head mentions (an
@@ -41,10 +63,16 @@ def extract_mentions(triples: DataFrame) -> DataFrame:
     final exchange balanced even when the partial map-side combine is
     defeated (e.g. high-cardinality interleaving at TB scale).
     """
+    entity_objects = (
+        triples.where(F.col("predicate").isin(*object_predicates))
+        .select(F.col("object").alias("mention")))
+    entity_subjects = (
+        triples.where(~F.col("predicate").isin(*STRUCTURAL_PREDICATES))
+        .select(F.col("subject").alias("mention")))
     mentions = (
-        triples.select(F.col("subject").alias("mention"))
-        .unionByName(triples.select(F.col("object").alias("mention")))
-        .where(F.length("mention") > 0)
+        entity_subjects
+        .unionByName(entity_objects)
+        .where((F.length("mention") > 0) & (F.length("mention") <= 64))
         .withColumn("norm", F.lower(F.trim(F.col("mention"))))
     )
     salted = (
