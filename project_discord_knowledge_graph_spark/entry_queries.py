@@ -1034,6 +1034,104 @@ SELECT vec_id,
 FROM embeddings"""
 
 
+def q_tpch_q5(spark, sf_dir):
+    """Six-table join chain (region->nation->customer->orders->
+    lineitem->supplier with colocated nation keys) — the join-
+    reordering / broadcast-selection workout."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (lineitem
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+SQL_TPCH_Q5 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name"""
+
+
+def q_setop_lapsed_users(spark, sf_dir):
+    """SO-family set op: users who signed up but never purchased
+    (EXCEPT / anti-join shape)."""
+    ev = _t(spark, sf_dir, "events")
+    signup = ev.where(F.col("event_type") == "signup") \
+        .select("user_id").distinct()
+    purchase = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id").distinct()
+    return signup.exceptAll(purchase).orderBy("user_id")
+
+
+SQL_SETOP_LAPSED = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"""
+
+
+def q_user_type_profile(spark, sf_dir):
+    """collect_set-family: per-user distinct event types as a sorted
+    array plus their count (SO4 distinct-set shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
+                 .alias("types_csv"),
+                 F.countDistinct("event_type").alias("n_types")))
+
+
+SQL_USER_TYPE_PROFILE = """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS types_csv,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id"""
+
+
+def q_part_supplier_rollup(spark, sf_dir):
+    """part x lineitem bridge: revenue per part brand-ish key."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_type")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("total_qty"),
+                 F.count("*").alias("n")))
+
+
+SQL_PART_SUPPLIER_ROLLUP = """
+SELECT p_type,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_qty,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1075,4 +1173,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
     "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "agg_embed_stats": (q_embed_stats, SQL_EMBED_STATS),
+    "tpch_q5_region_revenue": (q_tpch_q5, SQL_TPCH_Q5),
+    "setop_lapsed_users": (q_setop_lapsed_users, SQL_SETOP_LAPSED),
+    "agg_user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
+    "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
 }
