@@ -54,6 +54,40 @@ def with_type(df, clean_col: str = "clean_text", out_col: str = "type"):
     return df.withColumn(out_col, classify_expr(F.col(clean_col)))
 
 
+def classifier_segment_id_expr(channel: Column, author: Column,
+                               thread: Column) -> Column:
+    """The classify-only entry point's OWN segment-id scheme
+    (classifier.py:112-121) — deliberately different from the
+    preprocessor's md5 hour-bucket scheme and kept separate (SURVEY
+    section 7 hard point): thread slug with a narrower character
+    class ([^a-zA-Z0-9-]), else plain 'channel-{channel}-{author}'.
+    """
+    return F.when(
+        thread.isNotNull(),
+        F.concat(F.lit("thread-"),
+                 F.regexp_replace(thread, "[^a-zA-Z0-9-]", "-"))
+    ).otherwise(F.concat(F.lit("channel-"), channel, F.lit("-"), author))
+
+
+def classify_udf_variant():
+    """C1 as an Arrow-batched pandas UDF running Python `re` —
+    the byte-parity fallback for any future pattern whose Java-regex
+    behavior diverges (none of the current patterns do: the fuzz
+    suite proves dialect agreement, tests/test_fuzz_parity.py).
+    Returns a pandas UDF usable in place of classify_expr.
+    """
+    import pandas  # noqa: F401
+    from pyspark.sql.types import StringType
+
+    def _classify(texts):
+        from ..oracle.reference_port import classify as _c
+        return texts.fillna("").map(_c)
+
+    _classify.__annotations__ = {"texts": pandas.Series,
+                                 "return": pandas.Series}
+    return F.pandas_udf(_classify, StringType()).asNondeterministic()
+
+
 def classify_zero_shot(df, clean_col: str = "clean_text",
                        infer_fn=None, batch_size: int = 16):
     """C2 model classifier plumbing (reference classifier.py:137-173).
