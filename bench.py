@@ -91,11 +91,13 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
 
     import shutil
 
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
     def pipeline_once():
         # /dev/shm staging: locally the disk is the one resource that
         # does NOT scale with cores; tmpfs emulates the per-executor
         # fast storage a real cluster brings
-        stage = f"/dev/shm/kg_bench_stage_{os.getpid()}"
+        stage = f"{shm}/kg_bench_stage_{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         n = build_triples_from_path(spark, pages_path,
                                     stage_dir=stage).count()
@@ -122,7 +124,7 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
         from project_discord_knowledge_graph_spark.sources.pages import (
             read_pages,
         )
-        stage = f"/dev/shm/kg_stage_{os.getpid()}"
+        stage = f"{shm}/kg_stage_{os.getpid()}"
         timed("kg_stage_write",
               lambda: classify_pages(read_pages(spark, pages_path))
               .write.mode("overwrite").parquet(stage))
