@@ -14,8 +14,8 @@ executor criterion (no real cluster here).  Writes BENCH.md.
 
 The headline job is the full KG rule path (html text extraction ->
 classify -> extract -> link -> dedup -> validate) over a deterministic
-synthetic pages corpus sized proportionally to the scale factor
-(sf0.1 -> 50k pages), cached as parquet under /tmp/kg_bench.
+synthetic pages corpus sized at 40x the documents table (sf0.1 ->
+200k pages), cached as parquet under /tmp/kg_bench.
 """
 
 from __future__ import annotations
@@ -179,11 +179,13 @@ def single_run(cores: int, sf_dir: str) -> dict:
 
 
 def scaling_run(sf_dir: str) -> dict:
-    """Run bench at 8 and 32 cores in fresh subprocesses (fresh JVMs).
+    """Run bench at N and 4N cores in fresh subprocesses (fresh JVMs);
+    N defaults to SPARK_GRAFT_SCALING_N=2.
 
-    The scaling corpus is larger (default 400k pages) so the job
-    saturates 8 cores — efficiency on an overhead-bound toy job would
-    measure the constant, not the scaling."""
+    The scaling corpus is larger (SPARK_GRAFT_SCALING_PAGES, default
+    2,000,000 pages) so the job saturates the small-N run — efficiency
+    on an overhead-bound toy job would measure the constant, not the
+    scaling."""
     out = {}
     n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "2000000"))
     # pre-generate the corpus at full parallelism so the small-N run

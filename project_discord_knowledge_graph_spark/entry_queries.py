@@ -1132,6 +1132,106 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type"""
 
 
+def q_prune_candidates(spark, sf_dir):
+    """J4 answer-candidate pruning (nodes.py:431-496): per segment,
+    direct replies ∪ first-20-after-latest-question, deduped and
+    capped at 20 in (replies-first, ts, id) order."""
+    from .operators.link import prune_answer_candidates
+    questions, answers = split_qa(events_messages(spark, sf_dir))
+    return prune_answer_candidates(questions, answers, max_answers=20)
+
+
+SQL_PRUNE_CANDIDATES = f"""
+WITH {EVENTS_MSGS_SQL},
+q AS (SELECT message_id AS q_id, segment_id AS seg, ts
+      FROM emsgs WHERE type = 'question'),
+a AS (SELECT message_id AS a_id, segment_id AS seg, ts, reply_to
+      FROM emsgs WHERE type = 'answer'),
+rep AS (SELECT DISTINCT a.a_id, a.seg, a.ts
+        FROM a JOIN q ON a.reply_to = q.q_id AND a.seg = q.seg),
+lq AS (SELECT seg, max(ts) AS mt FROM q GROUP BY seg),
+chr20 AS (
+  SELECT a_id, seg, ts FROM (
+    SELECT a.a_id, a.seg, a.ts,
+           row_number() OVER (PARTITION BY a.seg
+                              ORDER BY a.ts, a.a_id) AS rn
+    FROM a JOIN lq ON a.seg = lq.seg AND a.ts > lq.mt)
+  WHERE rn <= 20),
+uni AS (
+  SELECT a_id, seg, ts, 0 AS prio FROM rep
+  UNION ALL
+  SELECT c.a_id, c.seg, c.ts, 1 FROM chr20 c
+  WHERE NOT EXISTS (SELECT 1 FROM rep r
+                    WHERE r.a_id = c.a_id AND r.seg = c.seg))
+SELECT seg AS segment_id, a_id AS message_id,
+       prio = 0 AS is_reply, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY seg
+                                   ORDER BY prio, ts, a_id) AS rank
+      FROM uni)
+WHERE rank <= 20"""
+
+
+def q_ts_normalize(spark, sf_dir):
+    """P2 dirty-timestamp normalizer (preprocessor.py:98-117) over a
+    deterministic dirty-string corpus derived from events.ts: trailing
+    'Z', explicit +02:00 offset, tz-naive, garbage, and empty inputs.
+    Unparseable/empty -> null + valid=false (quarantine) instead of
+    the reference's nondeterministic now() fallback (SURVEY section 7
+    documented deviation)."""
+    from .functions.timestamps import normalize_timestamps
+    ev = _t(spark, sf_dir, "events")
+    tsl = F.col("ts").cast("timestamp_ltz")  # NTZ parquet -> UTC instant
+    micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
+    frac = F.concat(F.lit("."), F.lpad(micros.cast("string"), 6, "0"))
+    base_t = F.date_format(tsl, "yyyy-MM-dd'T'HH:mm:ss")
+    plus2 = F.date_format(tsl + F.expr("INTERVAL 2 HOURS"),
+                          "yyyy-MM-dd'T'HH:mm:ss")
+    v = (F.col("event_id") % 5).cast("int")
+    raw = (F.when(v == 0, F.concat(base_t, frac, F.lit("Z")))
+            .when(v == 1, F.concat(plus2, frac, F.lit("+02:00")))
+            .when(v == 2, F.date_format(tsl, "yyyy-MM-dd HH:mm:ss"))
+            .when(v == 3, F.lit("not a timestamp"))
+            .otherwise(F.lit("")))
+    out = normalize_timestamps(ev.select("event_id", raw.alias("raw_ts")),
+                               "raw_ts", ts_col="ts_utc",
+                               iso_col="norm_iso")
+    return out.select("event_id", "norm_iso",
+                      F.unix_micros("ts_utc").alias("epoch_us"),
+                      F.col("raw_ts_valid").alias("valid"))
+
+
+SQL_TS_NORMALIZE = """
+WITH raws AS (
+  SELECT event_id,
+         CASE CAST(event_id % 5 AS INTEGER)
+           WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+           WHEN 1 THEN strftime(ts + INTERVAL 2 HOUR,
+                                '%Y-%m-%dT%H:%M:%S.%f') || '+02:00'
+           WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+           WHEN 3 THEN 'not a timestamp'
+           ELSE '' END AS raw_ts
+  FROM events),
+parsed AS (
+  SELECT event_id,
+         CASE WHEN CAST(event_id % 5 AS INTEGER) IN (0, 1)
+              THEN epoch_us(TRY_CAST(raw_ts AS TIMESTAMPTZ))
+              WHEN CAST(event_id % 5 AS INTEGER) = 2
+              THEN epoch_us(TRY_CAST(raw_ts AS TIMESTAMP))
+              ELSE NULL END AS epoch_us
+  FROM raws)
+SELECT event_id,
+       CASE WHEN epoch_us IS NULL THEN NULL
+            WHEN epoch_us % 1000000 = 0
+            THEN strftime(make_timestamp(epoch_us),
+                          '%Y-%m-%dT%H:%M:%S') || '+00:00'
+            ELSE strftime(make_timestamp(epoch_us),
+                          '%Y-%m-%dT%H:%M:%S.%f') || '+00:00'
+       END AS norm_iso,
+       epoch_us,
+       epoch_us IS NOT NULL AS valid
+FROM parsed"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1177,4 +1277,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "setop_lapsed_users": (q_setop_lapsed_users, SQL_SETOP_LAPSED),
     "agg_user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
     "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
+    "scalar_ts_normalize": (q_ts_normalize, SQL_TS_NORMALIZE),
+    "kg_prune_candidates": (q_prune_candidates, SQL_PRUNE_CANDIDATES),
 }

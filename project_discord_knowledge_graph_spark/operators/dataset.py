@@ -133,10 +133,12 @@ def ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
 
     a = F.broadcast(grams(left, "a"))
     b = grams(right, "b")
+    # filter on the UNROUNDED value (round only the projected column)
+    # so the cut matches an exact-arithmetic oracle at the boundary
+    raw = (F.size(F.array_intersect("ng_a", "ng_b"))
+           / F.size(F.array_union("ng_a", "ng_b")))
     return (a.crossJoin(b)
             .where(F.col("id_a") != F.col("id_b"))
-            .withColumn("jaccard", F.round(
-                F.size(F.array_intersect("ng_a", "ng_b"))
-                / F.size(F.array_union("ng_a", "ng_b")), 6))
-            .where(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard"))
+            .withColumn("_j", raw)
+            .where(F.col("_j") >= min_jaccard)
+            .select("id_a", "id_b", F.round("_j", 6).alias("jaccard")))

@@ -23,7 +23,7 @@ for the head segments the north rule worries about.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import config as C
 
@@ -145,6 +145,57 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
     )
     return _links(joined, "semantic", F.col("sim"),
                   C.STAGE_PRIORITY_LINK_SEMANTIC)
+
+
+def prune_answer_candidates(questions: DataFrame, answers: DataFrame,
+                            max_answers: int = 20) -> DataFrame:
+    """J4 answer-candidate pruning (llm_powered/nodes.py:431-496),
+    per segment (the reference's LLM context unit):
+
+    1. keep every answer that directly replies to one of the
+       segment's questions (reply_to semi-join);
+    2. plus the first `max_answers` answers strictly after the
+       segment's latest question timestamp, chronologically;
+    3. dedupe by message id with replies taking precedence, then cap
+       at `max_answers` in (replies-first, timestamp, id) order —
+       reproducing the reference's list order under its own
+       "answers sorted by timestamp" assumption, with the id as the
+       explicit tie-break the Python list implicitly lacks.
+
+    Input frames are the split_qa projections.  Output:
+    (segment_id, message_id, is_reply, rank) with rank 1-based.
+    Both halves are single equi-joins on segment-bounded keys plus
+    one window — no cross product, scales with segment count.
+    """
+    q = questions.select("q_id", "q_segment", "q_tstamp")
+    a = answers.select("a_id", "a_segment", "a_tstamp", "reply_to")
+
+    rep = (a.join(q.select(F.col("q_id").alias("reply_to"),
+                           F.col("q_segment").alias("a_segment")),
+                  ["reply_to", "a_segment"], "left_semi")
+           .select("a_id", "a_segment", "a_tstamp",
+                   F.lit(0).alias("prio")))
+
+    latest_q = q.groupBy(F.col("q_segment").alias("a_segment")) \
+                .agg(F.max("q_tstamp").alias("latest_q_ts"))
+    w_chr = Window.partitionBy("a_segment").orderBy("a_tstamp", "a_id")
+    chro = (a.join(latest_q, "a_segment")
+            .where(F.col("a_tstamp") > F.col("latest_q_ts"))
+            .withColumn("_rn", F.row_number().over(w_chr))
+            .where(F.col("_rn") <= max_answers)
+            .select("a_id", "a_segment", "a_tstamp",
+                    F.lit(1).alias("prio")))
+    chro = chro.join(rep.select("a_id", "a_segment"),
+                     ["a_id", "a_segment"], "left_anti")
+
+    w = Window.partitionBy("a_segment").orderBy("prio", "a_tstamp", "a_id")
+    return (rep.unionByName(chro)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= max_answers)
+            .select(F.col("a_segment").alias("segment_id"),
+                    F.col("a_id").alias("message_id"),
+                    (F.col("prio") == 0).alias("is_reply"),
+                    F.col("rank")))
 
 
 def link_qa(messages: DataFrame, include_semantic: bool = False,

@@ -64,6 +64,28 @@ def clean_text_classifier(text: str) -> str:
     return s
 
 
+def normalize_timestamp(timestamp_str: str | None) -> str | None:
+    """P2 — preprocessor.py:98-117.  The reference substitutes
+    datetime.now(utc) for empty/unparseable inputs; that wall-clock
+    read is nondeterministic, so the port returns None for those rows
+    (documented deviation, SURVEY section 7 — the engine quarantines
+    them instead)."""
+    if not timestamp_str:
+        return None
+    try:
+        if timestamp_str.endswith("Z"):
+            d = _dt.datetime.fromisoformat(
+                timestamp_str.replace("Z", "+00:00"))
+        elif "+" in timestamp_str or "-" in timestamp_str[-6:]:
+            d = _dt.datetime.fromisoformat(timestamp_str)
+        else:
+            d = _dt.datetime.fromisoformat(timestamp_str).replace(
+                tzinfo=_dt.timezone.utc)
+        return d.astimezone(_dt.timezone.utc).isoformat()
+    except Exception:
+        return None
+
+
 def segment_id(thread_name: str | None, channel: str, author: str,
                timestamp: str) -> str:
     """preprocessor.py:140-166 — thread slug or md5 of hour bucket."""

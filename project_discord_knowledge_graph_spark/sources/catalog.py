@@ -53,12 +53,16 @@ def merge_triples(spark: SparkSession, updates: DataFrame,
 
     key = dedup_key(F.col("subject"), F.col("predicate"), F.col("object"))
     if table_format() == "iceberg":
+        # same normalized key as dedup_key (incl. the outer-whitespace
+        # strip) so Iceberg MERGE and the parquet anti-join fallback
+        # agree on duplicate detection
+        norm = ("regexp_replace(lower(concat_ws('|', {a}.subject, "
+                "{a}.predicate, {a}.object)), '^\\\\s+|\\\\s+$', '')")
         updates.createOrReplaceTempView("_updates")
         spark.sql(f"""
             MERGE INTO {target} t
             USING _updates u
-            ON lower(concat_ws('|', t.subject, t.predicate, t.object))
-             = lower(concat_ws('|', u.subject, u.predicate, u.object))
+            ON {norm.format(a='t')} = {norm.format(a='u')}
             WHEN NOT MATCHED THEN INSERT *""")
         return
     try:

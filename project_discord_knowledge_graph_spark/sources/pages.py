@@ -22,10 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.cleaning import parse_page_udf
 from ..functions.html import extract_text_udf
-
-# ISO-8601 with +00:00 offset, matching Python datetime.isoformat()
-# on second-granularity UTC timestamps (preprocessor.py:114)
-ISO_FMT = "yyyy-MM-dd'T'HH:mm:ssxxx"
+from ..functions.timestamps import iso_utc_expr
 
 
 def read_pages(spark: SparkSession, path: str,
@@ -80,8 +77,10 @@ def pages_to_messages(pages: DataFrame,
     )
 
     # P2 timestamp normalize: typed ts + the ISO string the reference
-    # emits (keep both; string avoids reformat drift, SURVEY section 7)
-    df = df.withColumn("timestamp", F.date_format("warc_ts", ISO_FMT))
+    # emits (keep both; string avoids reformat drift, SURVEY section 7).
+    # iso_utc_expr preserves microseconds when present, matching
+    # datetime.isoformat() — the string round-trips the typed value.
+    df = df.withColumn("timestamp", iso_utc_expr(F.col("warc_ts")))
 
     # P5 empty filter (see docstring)
     df = df.where(F.col("clean_text") != "")

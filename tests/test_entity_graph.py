@@ -37,6 +37,29 @@ def test_connected_components_chain_converges(spark):
     assert len(comps) == n + 1
 
 
+def test_long_chain_converges(spark):
+    # pathological diameter-300 path: min-label propagation would need
+    # ~300 rounds; the alternating star algorithm must finish in
+    # O(log^2 n) — well under 20 double-rounds empirically.
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"])
+    labels, stats = connected_components(edges, return_stats=True)
+    comps = labels.collect()
+    assert stats["converged"]
+    assert stats["rounds"] <= 20
+    assert {r.component for r in comps} == {0}
+    assert len(comps) == n + 1
+
+
+def test_nonconvergence_raises(spark):
+    import pytest as _pytest
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
 @pytest.fixture(scope="module")
 def mention_triples(spark):
     rows = [

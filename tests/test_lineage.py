@@ -40,6 +40,12 @@ def test_crash_resume_idempotent(spark, corpus_path, tmp_path_factory):
     assert r2["processed"] == 5 and r2["skipped"] == 3
     assert r2["pending_buckets"] == 0 and r2["triples_out"] > 0
 
+    # stage 1 is ONE pass: its job group holds a constant number of
+    # jobs (stats + write + counts), not O(n_buckets)
+    tracker = spark.sparkContext.statusTracker()
+    jobs = tracker.getJobIdsForGroup(f"kg_stage1_{r2['run_id']}")
+    assert 0 < len(jobs) <= 8, jobs
+
     # full output equals the one-shot pipeline (set semantics,
     # including the segment-local answered_by links)
     got = spark.read.parquet(f"{out}/triples")
