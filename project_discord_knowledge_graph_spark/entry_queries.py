@@ -1132,6 +1132,161 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type"""
 
 
+def q_discord_flatten(spark, sf_dir):
+    """S1/P1: the Discord-export flatten, oracle-checked end to end.
+
+    A deterministic export-shaped JSON document is synthesized per
+    event row (to_json omits null fields, exercising every .get
+    default), parsed back with the export schema, and flattened with
+    the production flatten_message_cols expressions; DuckDB computes
+    the expected 20-field outputs directly from the event columns."""
+    from .sources.discord_export import (
+        EXPORT_MESSAGE_SCHEMA, flatten_message_cols,
+    )
+    ev = _t(spark, sf_dir, "events")
+    tsl = F.col("ts").cast("timestamp_ltz")
+    micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
+    raw_ts = F.concat(F.date_format(tsl, "yyyy-MM-dd'T'HH:mm:ss"),
+                      F.lit("."), F.lpad(micros.cast("string"), 6, "0"),
+                      F.lit("Z"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    null_s = F.lit(None).cast("string")
+
+    msg_struct = F.struct(
+        s(eid).alias("id"),
+        raw_ts.alias("timestamp"),
+        F.when(eid % 11 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("msg "), s(eid))).alias("content"),
+        F.when(eid % 10 == 0, F.lit(True)).alias("isPinned"),
+        F.struct(
+            F.concat(F.lit("a"), s(uid % 7)).alias("id"),
+            F.concat(F.lit("u"), s(uid % 7)).alias("name"),
+            F.when(uid % 5 == 0, F.lit(True)).alias("isBot"),
+            F.when(uid % 3 == 0, F.array(
+                F.struct(null_s.alias("id"), F.lit("mod").alias("name")),
+                F.struct(null_s.alias("id"),
+                         F.lit("member").alias("name")))).alias("roles"),
+        ).alias("author"),
+        F.when(eid % 4 == 0, F.array(F.struct(
+            null_s.alias("id"),
+            F.concat(F.lit("u"), s((uid + 1) % 7)).alias("name"))))
+         .alias("mentions"),
+        F.when(eid % 6 == 0, F.array(F.struct(
+            F.concat(F.lit("f"), s(eid), F.lit(".png")).alias("fileName"),
+            F.concat(F.lit("http://x/"), s(eid)).alias("url"),
+            (eid % 1000).alias("fileSizeBytes")))).alias("attachments"),
+        F.when(eid % 3 == 0, F.array(F.struct(
+            F.struct(F.lit("+1").alias("name")).alias("emoji"),
+            (eid % 5).alias("count")))).alias("reactions"),
+        F.when(eid % 2 == 0, F.struct(
+            s(eid - 3).alias("messageId"),
+            null_s.alias("channelId"))).alias("reference"),
+        F.when(eid % 7 == 0, F.struct(
+            F.concat(F.lit("T "), s(F.expr("event_id div 50")))
+             .alias("name"))).alias("thread"),
+    )
+    parsed = ev.select(
+        F.from_json(F.to_json(msg_struct), EXPORT_MESSAGE_SCHEMA)
+         .alias("m"))
+    c = flatten_message_cols(F.col("m"), F.lit("chan"))
+    return (parsed.select(
+        c["message_id"].alias("message_id"),
+        c["author"].alias("author"),
+        c["author_id"].alias("author_id"),
+        c["is_bot"].alias("is_bot"),
+        c["is_pinned"].alias("is_pinned"),
+        c["reply_to"].alias("reply_to"),
+        c["thread"].alias("thread"),
+        c["segment_id"].alias("segment_id"),
+        c["timestamp"].alias("norm_ts"),
+        F.concat_ws(",", c["author_roles"]).alias("roles_csv"),
+        F.concat_ws(",", c["mentions"]).alias("mentions_csv"),
+        F.size(c["attachments"]).alias("n_attachments"),
+        F.aggregate(c["attachments"], F.lit(0).cast("bigint"),
+                    lambda a, x: a + x["size"]).alias("attach_bytes"),
+        F.aggregate(c["reactions"], F.lit(0).cast("bigint"),
+                    lambda a, x: a + x["count"]).alias("total_reactions"),
+        c["content"].alias("content"),
+        c["clean_text"].alias("clean_text"))
+        .where(F.trim(F.col("content")) != "")
+        .drop("content"))
+
+
+SQL_DISCORD_FLATTEN = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         'u' || CAST(user_id % 7 AS VARCHAR) AS author,
+         CASE WHEN event_id % 7 = 0
+              THEN 'T ' || CAST(event_id // 50 AS VARCHAR) END AS thread
+  FROM events WHERE event_id % 11 <> 0)
+SELECT CAST(eid AS VARCHAR) AS message_id,
+       author,
+       'a' || CAST(uid % 7 AS VARCHAR) AS author_id,
+       uid % 5 = 0 AS is_bot,
+       eid % 10 = 0 AS is_pinned,
+       CASE WHEN eid % 2 = 0 THEN CAST(eid - 3 AS VARCHAR) END
+         AS reply_to,
+       thread,
+       CASE WHEN thread IS NOT NULL
+            THEN 'thread-' || regexp_replace(lower(thread),
+                                             '[^a-zA-Z0-9]', '-', 'g')
+            ELSE 'segment-' || substr(md5('unknown-' || author || '-'
+                 || strftime(ts, '%Y%m%d-%H')), 1, 8) END AS segment_id,
+       CASE WHEN epoch_us(ts) % 1000000 = 0
+            THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00'
+            ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00'
+       END AS norm_ts,
+       CASE WHEN uid % 3 = 0 THEN 'mod,member' ELSE '' END AS roles_csv,
+       CASE WHEN eid % 4 = 0
+            THEN 'u' || CAST((uid + 1) % 7 AS VARCHAR)
+            ELSE '' END AS mentions_csv,
+       CAST(CASE WHEN eid % 6 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_attachments,
+       CAST(CASE WHEN eid % 6 = 0 THEN eid % 1000 ELSE 0 END AS BIGINT)
+         AS attach_bytes,
+       CAST(CASE WHEN eid % 3 = 0 THEN eid % 5 ELSE 0 END AS BIGINT)
+         AS total_reactions,
+       'msg ' || CAST(eid AS VARCHAR) AS clean_text
+FROM base"""
+
+
+def q_msg_flag_stats(spark, sf_dir):
+    """A4 extension (preprocessor.py:298-312): bot/pinned/attachment/
+    reaction rollups over the flattened export corpus — the counts the
+    reference prints in print_stats, as one aggregation pass."""
+    from .sources.discord_export import message_flag_stats
+    flat = q_discord_flatten(spark, sf_dir)
+    msgs = flat.select(
+        "segment_id", "author", "thread", "is_bot", "is_pinned",
+        F.when(F.col("n_attachments") > 0,
+               F.expr("array(named_struct('filename', 'f', 'url', 'u',"
+                      " 'size', CAST(attach_bytes AS BIGINT)))"))
+         .otherwise(F.expr(
+             "CAST(array() AS array<struct<filename:string,url:string,"
+             "size:bigint>>)")).alias("attachments"),
+        F.when(F.col("total_reactions") > 0,
+               F.expr("array(named_struct('emoji', '+1', 'count', "
+                      "CAST(total_reactions AS BIGINT)))"))
+         .otherwise(F.expr(
+             "CAST(array() AS array<struct<emoji:string,count:bigint>>)"))
+         .alias("reactions"))
+    return message_flag_stats(msgs)
+
+
+SQL_MSG_FLAG_STATS = f"""
+WITH flat AS ({SQL_DISCORD_FLATTEN})
+SELECT count(*) AS total_messages,
+       count(DISTINCT segment_id) AS unique_segments,
+       count(DISTINCT author) AS unique_authors,
+       count(CASE WHEN thread IS NOT NULL THEN 1 END) AS with_threads,
+       count(CASE WHEN is_bot THEN 1 END) AS bot_messages,
+       count(CASE WHEN is_pinned THEN 1 END) AS pinned_messages,
+       count(CASE WHEN n_attachments > 0 THEN 1 END) AS with_attachments,
+       CAST(sum(total_reactions) AS BIGINT) AS total_reactions
+FROM flat"""
+
+
 def q_prune_candidates(spark, sf_dir):
     """J4 answer-candidate pruning (nodes.py:431-496): per segment,
     direct replies ∪ first-20-after-latest-question, deduped and
@@ -1279,4 +1434,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
     "scalar_ts_normalize": (q_ts_normalize, SQL_TS_NORMALIZE),
     "kg_prune_candidates": (q_prune_candidates, SQL_PRUNE_CANDIDATES),
+    "discord_flatten": (q_discord_flatten, SQL_DISCORD_FLATTEN),
+    "agg_msg_flag_stats": (q_msg_flag_stats, SQL_MSG_FLAG_STATS),
 }

@@ -104,6 +104,84 @@ def segment_id(thread_name: str | None, channel: str, author: str,
 # C1 rule classifier (nodes.py:195-226 precedence)
 # ---------------------------------------------------------------------------
 
+def extract_thread_name(message: dict) -> str | None:
+    """preprocessor.py:168-185."""
+    if message.get("thread"):
+        t = message["thread"]
+        return t.get("name") if isinstance(t, dict) else str(t)
+    ref = message.get("reference")
+    if ref and isinstance(ref, dict) and "channelId" in ref:
+        return f"thread-{ref['channelId']}"
+    return None
+
+
+def preserve_metadata(message: dict) -> dict:
+    """preprocessor.py:47-96 — every .get default reproduced."""
+    author = message.get("author", {})
+    roles = [r.get("name", "") if isinstance(r, dict) else str(r)
+             for r in author.get("roles", [])]
+    mentions = [m.get("name", m.get("id", "")) if isinstance(m, dict)
+                else str(m) for m in message.get("mentions", [])]
+    attachments = [{"filename": a.get("fileName", ""),
+                    "url": a.get("url", ""),
+                    "size": a.get("fileSizeBytes", 0)}
+                   for a in message.get("attachments", [])
+                   if isinstance(a, dict)]
+    reactions = [{"emoji": r.get("emoji", {}).get("name", ""),
+                  "count": r.get("count", 0)}
+                 for r in message.get("reactions", [])
+                 if isinstance(r, dict)]
+    return {
+        "original_timestamp": message.get("timestamp", ""),
+        "author_id": author.get("id", ""),
+        "author_roles": roles,
+        "mentions": mentions,
+        "attachments": attachments,
+        "reactions": reactions,
+        "is_bot": author.get("isBot", False),
+        "is_pinned": message.get("isPinned", False),
+        "reply_to": (message.get("reference", {}).get("messageId")
+                     if message.get("reference") else None),
+    }
+
+
+def process_export(data: dict) -> list[dict]:
+    """preprocessor.py:252-283 + process_message (213-250), minus the
+    classifier stage (type/confidence keep the 'alert'/0.5 defaults)
+    and with the normalize_timestamp now() fallback as None (same
+    documented deviation as normalize_timestamp above)."""
+    channel = data.get("channel", {}).get("name", "unknown")
+    out = []
+    for message in data.get("messages", []):
+        if not message.get("content", "").strip():
+            continue
+        author = message.get("author", {}).get("name", "unknown")
+        raw_ts = message.get("timestamp", "")
+        thread = extract_thread_name(message)
+        # NOTE the reference's segment grouping reads the channel from
+        # the MESSAGE (group_messages_by_segments, preprocessor.py:196)
+        # — which standard exports don't carry, so the hash key uses
+        # 'unknown' — while the emitted channel column carries the
+        # export's top-level channel name (process_discord_export,
+        # preprocessor.py:259,278).  Reproduced faithfully.
+        seg_channel = message.get("channel", {}).get("name", "unknown")
+        out.append({
+            "message_id": message.get("id", ""),
+            "segment_id": segment_id(thread, seg_channel, author, raw_ts),
+            "thread": thread,
+            "channel": channel,
+            "author": author,
+            "timestamp": normalize_timestamp(raw_ts),
+            "type": "alert",
+            "confidence": 0.5,
+            "content": message.get("content", ""),
+            "clean_text": clean_text_preprocessor(
+                message.get("content", "")),
+            **preserve_metadata(message),
+        })
+    return out
+
+
 def classify(clean_text: str) -> str:
     text = clean_text.lower()
     if re.search(C.PERFORMANCE_PATTERN, text) and re.search(

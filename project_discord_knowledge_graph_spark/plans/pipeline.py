@@ -70,3 +70,21 @@ def build_triples_from_path(spark: SparkSession, path: str,
     if "stage_dir" in kw:
         kw.setdefault("spark", spark)
     return build_triples(read_pages(spark, path, after_ts), **kw)
+
+
+def build_triples_from_export(spark: SparkSession, path: str,
+                              include_semantic: bool = False,
+                              embed_udf=None) -> DataFrame:
+    """The reference's actual front door: Discord channel-export JSON
+    -> flatten (S1/P1/P2) -> classify (C1) -> extract (E1-E8) -> Q&A
+    link (J1/J2) -> dedup + validate (A8/P7).  Same downstream DAG as
+    the pages path; only the source stage differs."""
+    from ..operators.classify import with_type
+    from ..sources.discord_export import (
+        export_to_messages, read_discord_export,
+    )
+    messages = with_type(
+        export_to_messages(read_discord_export(spark, path)))
+    extracted = extract_triples(messages)
+    links = link_qa(messages, include_semantic, embed_udf)
+    return aggregate_triples(extracted, links)
