@@ -480,22 +480,82 @@ SQL_PRED_HISTOGRAM = (
 )
 
 
+def _stddev_exprs(col):
+    """Deterministic sample stddev from explicit sums: float summation
+    order cannot perturb the result when the inputs' bit-width is
+    bounded (see q_confidence_varied), and the near-zero cancellation
+    case is clamped before sqrt so constant groups give exactly 0.0
+    on both engines (Spark's stddev_samp / DuckDB's stddev use
+    order-dependent streaming merges — unusable under a value-hash)."""
+    n = F.count("*")
+    sx = F.sum(col)
+    sx2 = F.sum(col * col)
+    var = (sx2 - sx * sx / n) / (n - 1)
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))) \
+            .otherwise(F.lit(None).cast("double"))
+
+
+def _sql_stddev(col: str) -> str:
+    return (f"CASE WHEN count(*) > 1 THEN sqrt(greatest((sum({col} * {col})"
+            f" - sum({col}) * sum({col}) / count(*)) / (count(*) - 1),"
+            f" 0.0)) END")
+
+
 def q_confidence_stats(spark, sf_dir):
+    """A5 full stats (classifier.py:267-276 + SURVEY A5): mean,
+    share>0.8, median, sample stddev per predicate."""
     msgs = docs_messages(spark, sf_dir)
     t = extract_triples(msgs)
     return t.groupBy("predicate").agg(
         F.count("*").alias("n"),
         F.round(F.avg("confidence"), 4).alias("avg_conf"),
         F.round(F.avg((F.col("confidence") > 0.8).cast("int")), 4)
-         .alias("share_high"))
+         .alias("share_high"),
+        F.round(F.median("confidence"), 4).alias("median_conf"),
+        F.round(_stddev_exprs(F.col("confidence")), 4).alias("std_conf"))
 
 
-SQL_CONFIDENCE_STATS = SQL_EXTRACT_ALL_CTES + """
+SQL_CONFIDENCE_STATS = SQL_EXTRACT_ALL_CTES + f"""
 SELECT predicate, count(*) AS n,
        round(avg(confidence), 4) AS avg_conf,
        round(avg(CASE WHEN confidence > 0.8 THEN 1 ELSE 0 END), 4)
-         AS share_high
+         AS share_high,
+       round(median(confidence), 4) AS median_conf,
+       round({_sql_stddev('confidence')}, 4) AS std_conf
 FROM allt GROUP BY predicate"""
+
+
+def q_confidence_varied(spark, sf_dir):
+    """A5 on a non-constant score column: score = 0.5 + (doc_id % 7)
+    / 16 — every value, square, and bounded sum is exactly
+    representable in binary, so mean/median/stddev are deterministic
+    bit-identical doubles on both engines regardless of aggregation
+    order (no rounding crutch needed for correctness; round(6) is
+    belt-and-braces)."""
+    msgs = docs_messages(spark, sf_dir)
+    score = 0.5 + (F.col("doc_id") % 7).cast("double") * 0.0625
+    t = msgs.select("type", score.alias("score"))
+    return t.groupBy("type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.median("score"), 6).alias("median_score"),
+        F.round(_stddev_exprs(F.col("score")), 6).alias("std_score"),
+        F.round(F.avg((F.col("score") > 0.8).cast("int")), 6)
+         .alias("share_high"))
+
+
+SQL_CONFIDENCE_VARIED = f"""
+WITH {docs_msgs_sql()},
+scored AS (
+  SELECT type, 0.5 + CAST(doc_id % 7 AS DOUBLE) * 0.0625 AS score
+  FROM dmsgs)
+SELECT type, count(*) AS n,
+       round(avg(score), 6) AS avg_score,
+       round(median(score), 6) AS median_score,
+       round({_sql_stddev('score')}, 6) AS std_score,
+       round(avg(CASE WHEN score > 0.8 THEN 1 ELSE 0 END), 6)
+         AS share_high
+FROM scored GROUP BY type"""
 
 
 def q_hourly_events(spark, sf_dir):
@@ -750,6 +810,131 @@ SELECT query_id, neighbor_id, rank FROM (
              6) DESC, c.vec_id) AS rank
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+WHERE rank <= 3"""
+
+
+def _sql_bucket_expr(n_planes: int = 8, dim: int = 64,
+                     vec: str = "embedding") -> str:
+    """DuckDB replica of operators.ann.with_lsh_bucket: the plane
+    components are plan-build-time constants shared by both engines;
+    the per-plane dot is a sequential-order inner product on both
+    sides, so the sign (and hence the bucket bitstring) matches."""
+    from .operators.ann import plane_components
+    parts = []
+    for row in plane_components(n_planes, dim):
+        lit = "[" + ", ".join(f"{x:.1f}" for x in row) + "]"
+        parts.append(
+            f"CASE WHEN list_inner_product(CAST({vec} AS DOUBLE[]),"
+            f" {lit}) > 0 THEN '1' ELSE '0' END")
+    return " || ".join(parts)
+
+
+def q_embed_flatten(spark, sf_dir):
+    """P10 embed flatten (ingestion/streamlit_app.py:28-78): one row
+    per embed, dynamic embed fields as a map column — projected here
+    to a sorted key=value CSV so the value-hash is map-order-proof.
+    Embeds are synthesized deterministically per document (2 / 1 / 0
+    embeds by doc_id % 3, covering null fields and empty arrays)."""
+    from .functions.embeds import flatten_embeds
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    null_s = F.lit(None).cast("string")
+    embed_a = F.struct(
+        F.concat(F.lit("T"), sid).alias("title"),
+        F.concat(F.lit("http://e/"), sid).alias("url"),
+        F.lit("d").alias("description"),
+        F.lit("#ff0000").alias("color"),
+        F.array(F.struct(F.lit("sym").alias("name"),
+                         F.lit("BTC").alias("value")),
+                F.struct(F.lit("px").alias("name"),
+                         sid.alias("value"))).alias("fields"),
+        F.lit("f").alias("footer"))
+    embed_b = F.struct(
+        F.concat(F.lit("T2"), sid).alias("title"),
+        null_s.alias("url"), null_s.alias("description"),
+        null_s.alias("color"),
+        F.lit(None).cast(
+            "array<struct<name:string,value:string>>").alias("fields"),
+        null_s.alias("footer"))
+    embed_c = F.struct(
+        F.concat(F.lit("solo"), sid).alias("title"),
+        null_s.alias("url"), null_s.alias("description"),
+        null_s.alias("color"),
+        F.array().cast(
+            "array<struct<name:string,value:string>>").alias("fields"),
+        null_s.alias("footer"))
+    m3 = (F.col("doc_id") % 3).cast("int")
+    msgs = docs.select(
+        sid.alias("message_id"),
+        F.when(m3 == 0, F.array(embed_a, embed_b))
+         .when(m3 == 1, F.array(embed_c))
+         .otherwise(F.expr(
+             "CAST(array() AS array<struct<title:string,url:string,"
+             "description:string,color:string,fields:array<struct<"
+             "name:string,value:string>>,footer:string>>)"))
+         .alias("embeds"))
+    flat = flatten_embeds(msgs)
+    fields_csv = F.concat_ws(";", F.transform(
+        F.sort_array(F.map_entries(F.col("fields"))),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"])))
+    return flat.select("message_id", "title", "url", "description",
+                       "color", "footer", fields_csv.alias("fields_csv"))
+
+
+SQL_EMBED_FLATTEN = """
+SELECT CAST(doc_id AS VARCHAR) AS message_id,
+       'T' || CAST(doc_id AS VARCHAR) AS title,
+       'http://e/' || CAST(doc_id AS VARCHAR) AS url,
+       'd' AS description, '#ff0000' AS color, 'f' AS footer,
+       'px=' || CAST(doc_id AS VARCHAR) || ';sym=BTC' AS fields_csv
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'T2' || CAST(doc_id AS VARCHAR),
+       NULL, NULL, NULL, NULL, ''
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'solo' || CAST(doc_id AS VARCHAR),
+       NULL, NULL, NULL, NULL, ''
+FROM documents WHERE doc_id % 3 = 1"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Hyperplane-LSH bucket assignment — the blocking key of the
+    scale ANN path, oracle-checked bit for bit."""
+    from .operators.ann import with_lsh_bucket
+    emb = _t(spark, sf_dir, "embeddings")
+    return (with_lsh_bucket(emb, n_planes=8, dim=64)
+            .select("vec_id", "bucket"))
+
+
+SQL_LSH_BUCKETS = f"""
+SELECT vec_id, {_sql_bucket_expr(8, 64)} AS bucket FROM embeddings"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Bucketed approximate top-k (equi-join on the LSH signature +
+    exact cosine re-rank) — the whole scale path is SQL-expressible,
+    so the oracle checks candidates, scores, and ranks."""
+    from .operators.ann import lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=3,
+                    n_planes=6, dim=64)
+
+
+SQL_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sql_bucket_expr(6, 64)} AS bucket
+  FROM embeddings)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                    c.vec_id) AS rank
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
 WHERE rank <= 3"""
 
 
@@ -1436,4 +1621,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_prune_candidates": (q_prune_candidates, SQL_PRUNE_CANDIDATES),
     "discord_flatten": (q_discord_flatten, SQL_DISCORD_FLATTEN),
     "agg_msg_flag_stats": (q_msg_flag_stats, SQL_MSG_FLAG_STATS),
+    "agg_confidence_varied": (q_confidence_varied, SQL_CONFIDENCE_VARIED),
+    "ann_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "ann_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "embed_flatten": (q_embed_flatten, SQL_EMBED_FLATTEN),
 }

@@ -62,40 +62,76 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id", "rank"))
 
 
-def _hyperplane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random +-1 from md5 parity of (plane,dim)."""
-    return (2 * (F.ascii(F.substring(
-        F.md5(F.lit(f"hp:{plane}:{dim}")), 1, 1)) % 2) - 1).cast("double")
+def plane_components(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplane components from md5 parity of
+    'hp:{plane}:{dim}' — computed once at plan-build time, so the
+    same constants are available to the Spark plan, the DuckDB
+    oracle, and any external re-implementation."""
+    import hashlib
+    return [[2.0 * (ord(hashlib.md5(f"hp:{p}:{d}".encode())
+                        .hexdigest()[0]) % 2) - 1.0
+             for d in range(dim)]
+            for p in range(n_planes)]
 
 
 def with_lsh_bucket(df: DataFrame, n_planes: int = 12, dim: int = 64,
                     vec_col: str = "embedding",
                     out_col: str = "bucket") -> DataFrame:
     """Random-hyperplane signature: bit p = sign(v . h_p), h_p a
-    deterministic +-1 vector.  Emits a bitstring bucket key."""
+    deterministic +-1 vector.  Emits a bitstring bucket key.
+
+    Each dot product is one aggregate over a zip_with against a
+    literal plane array — n_planes expressions total, independent of
+    dim, instead of n_planes*dim unrolled terms (which hits codegen
+    limits at dim 768)."""
     v = _as_double(vec_col)
     bits = []
-    for p in range(n_planes):
-        dot = None
-        for d in range(dim):
-            term = F.element_at(v, d + 1) * _hyperplane_component(p, d)
-            dot = term if dot is None else dot + term
+    for row in plane_components(n_planes, dim):
+        plane = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(F.zip_with(v, plane, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def probe_buckets_expr(bucket_col: str, n_planes: int,
+                       hamming: int = 1):
+    """Multi-probe expansion: the bucket itself plus every bucket at
+    Hamming distance 1 (bit flips).  hamming=0 -> just the bucket.
+    Returns an array column; explode it on the (smaller) query side.
+    """
+    if hamming == 0:
+        return F.array(F.col(bucket_col))
+    return F.expr(
+        f"array_union(array({bucket_col}), transform(sequence(1,"
+        f" {n_planes}), i -> concat(substr({bucket_col}, 1, i - 1),"
+        f" case when substr({bucket_col}, i, 1) = '1' then '0' else '1'"
+        f" end, substr({bucket_col}, i + 1, {n_planes}))))")
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
              n_planes: int = 8, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_hamming: int = 0) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (equi-join on the signature), exact cosine re-rank within.
-    Recall tunes with n_planes (fewer planes = bigger buckets)."""
+    Recall tunes with n_planes (fewer planes = bigger buckets) and
+    probe_hamming (1 = also probe every Hamming-adjacent bucket,
+    recovering recall at high plane counts for ~n_planes x the
+    candidate volume — still bucket-bounded, never all-pairs).
+
+    The probe expansion explodes on the query side (the small side);
+    a corpus vector lives in exactly one bucket, so probes never
+    produce duplicate (query, neighbor) pairs."""
     qb = with_lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("q_vec"),
                        F.col(vec_col)),
         n_planes, dim).drop(vec_col)
+    qb = qb.select(
+        "query_id", "q_vec",
+        F.explode(probe_buckets_expr("bucket", n_planes,
+                                     probe_hamming)).alias("bucket"))
     cb = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("c_vec"),

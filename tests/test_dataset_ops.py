@@ -99,6 +99,86 @@ def test_lsh_topk_recall_vs_exact(spark, vectors):
     assert recall >= 0.5  # loose: 4 planes on an 8-dim toy set
 
 
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """Deterministic clustered corpus (20 clusters x 25 points, 64-dim,
+    md5-derived): the neighbor structure real embedding spaces have,
+    which the uniform-random testdata embeddings lack (their cosines
+    are all ~0, so 'recall' there measures noise, not the index)."""
+    import hashlib
+    import math
+
+    def unit(seed, dim=64):
+        v, i = [], 0
+        while len(v) < dim:
+            h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            v.extend(b / 255.0 - 0.5 for b in h)
+            i += 1
+        v = v[:dim]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for c in range(20):
+        center = unit(f"c{c}")
+        for j in range(25):
+            noise = unit(f"n{c}:{j}")
+            rows.append((c * 25 + j,
+                         [float(x + 0.15 * y)
+                          for x, y in zip(center, noise)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lsh_topk_recall_gate(spark, clustered_vectors):
+    """The scale path's hard number: bucketed ANN with Hamming-1
+    multi-probe must recover >= 0.9 of the exact top-5, and
+    multi-probe must strictly improve on single-probe (measured
+    0.95 vs 0.70 on this fixture)."""
+    q = clustered_vectors.where(F.col("vec_id") % 25 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, clustered_vectors, k=5).collect()}
+    single = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(q, clustered_vectors, k=5, n_planes=4,
+                                dim=64, probe_hamming=0).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in lsh_topk(q, clustered_vectors, k=5, n_planes=4,
+                               dim=64, probe_hamming=1).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= 0.9, (r_single, r_multi)
+    assert r_multi > r_single
+
+
+def test_minhash_lsh_recall_gate(spark):
+    """Banded MinHash-LSH must find >= 0.9 of true near-duplicate
+    pairs on a deterministic perturbed-copy corpus."""
+    import hashlib
+    vocab = [f"word{i}" for i in range(200)]
+
+    def words(seed, n=30):
+        out = []
+        for i in range(n):
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), 16)
+            out.append(vocab[h % len(vocab)])
+        return out
+
+    rows = []
+    for d in range(40):
+        base = words(f"d{d}")
+        pert = list(base)
+        pert[3] = "CHANGED"
+        pert[17] = "ALSO"
+        rows.append((2 * d, " ".join(base)))
+        rows.append((2 * d + 1, " ".join(pert)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(docs, jaccard_distance=0.5,
+                                        shingle=6).collect()}
+    true_pairs = {(2 * d, 2 * d + 1) for d in range(40)}
+    recall = len(true_pairs & pairs) / len(true_pairs)
+    assert recall >= 0.9, recall
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.999,
                                      n_planes=4, dim=8)
