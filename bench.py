@@ -145,7 +145,9 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
                  "win_session_counts", "agg_hourly_events",
                  "dedup_exact", "dedup_minhash_signatures",
                  "ann_cosine_topk", "text_metrics", "graph_components",
-                 "cmp_extract_variants"):
+                 "cmp_extract_variants", "kg_prune_candidates",
+                 "discord_flatten", "ann_lsh_topk",
+                 "scalar_ts_normalize"):
         fn, _sql = EQ.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 

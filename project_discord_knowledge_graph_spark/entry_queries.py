@@ -1024,34 +1024,18 @@ _VARIANT_TYPES = ("question", "alert", "performance", "strategy",
 
 def q_cmp_extract_variants(spark, sf_dir):
     """J5/A10: rule-path extraction vs a second 'variant' extraction
-    (preset types), full-outer joined per message with predicate-set
-    overlap sizes and the reference's disagreement flag
-    (abs count diff >= 2, extraction/app.py:918-940)."""
-    msgs = docs_messages(spark, sf_dir)
+    (preset types), compared with the named compare_extraction_runs
+    operator (extraction/app.py:918-940).  The classified base is
+    persisted so BOTH arms read it once — at production scale the
+    same shape stages to parquet via build_triples(stage_dir=...)."""
+    from .plans.analytics import compare_extraction_runs
+    msgs = docs_messages(spark, sf_dir).persist()
     rule = extract_triples(msgs)
     variant_type = F.element_at(
         F.array(*[F.lit(t) for t in _VARIANT_TYPES]),
         ((F.col("doc_id") % 12) + 1).cast("int"))
     variant = extract_triples(msgs.withColumn("type", variant_type))
-
-    def per_msg(t, prefix):
-        return t.groupBy("message_id").agg(
-            F.count("*").alias(f"n_{prefix}"),
-            F.collect_set("predicate").alias(f"preds_{prefix}"))
-
-    joined = per_msg(rule, "rule").join(per_msg(variant, "llm"),
-                                        "message_id", "full_outer")
-    empty = F.array().cast("array<string>")
-    pr = F.coalesce("preds_rule", empty)
-    pl = F.coalesce("preds_llm", empty)
-    nr = F.coalesce("n_rule", F.lit(0))
-    nl = F.coalesce("n_llm", F.lit(0))
-    return joined.select(
-        "message_id",
-        nr.alias("n_rule"), nl.alias("n_llm"),
-        F.size(F.array_intersect(pr, pl)).alias("n_common_preds"),
-        F.size(F.array_union(pr, pl)).alias("n_all_preds"),
-        (F.abs(nr - nl) >= 2).alias("disagreement"))
+    return compare_extraction_runs(rule, variant)
 
 
 def _sql_variant_extract_ctes() -> str:
@@ -1573,6 +1557,155 @@ FROM parsed"""
 
 
 # ---------------------------------------------------------------------------
+# llm_calls analytic views (llm_call_recorder + evaluation dashboard)
+# ---------------------------------------------------------------------------
+
+_PROVIDERS = ("claude", "openai", "groq")
+_TEMPLATES = ("qa", "summary", "extract", "classify")
+# dyadic-rational synthetic values (quarters, 1/128 dollars, power-of-2
+# triple counts): every per-row ratio and every bounded sum is exactly
+# representable, so the rollups hash identically on both engines
+_TRIPLE_COUNTS = (0, 1, 2, 4, 8)
+
+
+def llm_calls_df(spark, sf_dir) -> DataFrame:
+    """Deterministic llm_calls-shaped corpus derived from events
+    (the analytic columns of llm_call_recorder.py:180-228)."""
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    pick = lambda vals, k: F.element_at(  # noqa: E731
+        F.array(*[F.lit(v) for v in vals]), (k + 1).cast("int"))
+    return ev.select(
+        eid.cast("string").alias("call_id"),
+        pick(_PROVIDERS, uid % 3).alias("provider"),
+        pick(_TEMPLATES, eid % 4).alias("template_type"),
+        (eid % 13 != 0).alias("success"),
+        ((eid % 13 != 0) & (eid % 11 != 0)).alias("parsing_success"),
+        (1.0 + (eid % 10).cast("double") * 0.25)
+        .alias("duration_seconds"),
+        (100 + eid % 400).alias("total_tokens"),
+        ((eid % 20).cast("double") * 0.0078125).alias("cost_usd"),
+        pick(_TRIPLE_COUNTS, eid % 5).cast("long")
+        .alias("triples_count"),
+        (1 + eid % 5).alias("batch_size"),
+        (1 + eid % 9).alias("messages_in_batch"),
+    )
+
+
+SQL_LLM_CALLS_CTE = """
+lcalls AS (
+  SELECT CAST(event_id AS VARCHAR) AS call_id,
+         CASE CAST(user_id % 3 AS INTEGER)
+           WHEN 0 THEN 'claude' WHEN 1 THEN 'openai'
+           ELSE 'groq' END AS provider,
+         CASE CAST(event_id % 4 AS INTEGER)
+           WHEN 0 THEN 'qa' WHEN 1 THEN 'summary'
+           WHEN 2 THEN 'extract' ELSE 'classify' END AS template_type,
+         event_id % 13 <> 0 AS success,
+         (event_id % 13 <> 0) AND (event_id % 11 <> 0)
+           AS parsing_success,
+         1.0 + CAST(event_id % 10 AS DOUBLE) * 0.25
+           AS duration_seconds,
+         100 + event_id % 400 AS total_tokens,
+         CAST(event_id % 20 AS DOUBLE) * 0.0078125 AS cost_usd,
+         CAST(CASE CAST(event_id % 5 AS INTEGER)
+           WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+           WHEN 3 THEN 4 ELSE 8 END AS BIGINT) AS triples_count,
+         1 + event_id % 5 AS batch_size,
+         1 + event_id % 9 AS messages_in_batch
+  FROM events)"""
+
+
+def q_llm_call_ratios(spark, sf_dir):
+    """Per-call derived ratios with div-by-zero -> null
+    (llm_evaluation_app.py:95-98, 604)."""
+    from .plans.llm_metrics import with_derived_ratios
+    return with_derived_ratios(llm_calls_df(spark, sf_dir)).select(
+        "call_id", "cost_per_token", "tokens_per_second",
+        "cost_per_triple")
+
+
+SQL_LLM_CALL_RATIOS = f"""
+WITH {SQL_LLM_CALLS_CTE}
+SELECT call_id,
+       CASE WHEN total_tokens <> 0
+            THEN cost_usd / total_tokens END AS cost_per_token,
+       CASE WHEN duration_seconds <> 0
+            THEN total_tokens / duration_seconds END AS tokens_per_second,
+       CASE WHEN triples_count <> 0
+            THEN cost_usd / triples_count END AS cost_per_triple
+FROM lcalls"""
+
+
+def q_llm_template_stats(spark, sf_dir):
+    from .plans.llm_metrics import template_stats
+    return template_stats(llm_calls_df(spark, sf_dir))
+
+
+SQL_LLM_TEMPLATE_STATS = f"""
+WITH {SQL_LLM_CALLS_CTE}
+SELECT template_type,
+       count(*) AS total_calls,
+       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+         AS api_successful,
+       CAST(sum(CASE WHEN parsing_success THEN 1 ELSE 0 END) AS BIGINT)
+         AS parsing_successful,
+       round(avg(duration_seconds), 4) AS avg_duration,
+       round(avg(cost_usd), 4) AS avg_cost,
+       round(sum(cost_usd), 4) AS total_cost,
+       round(avg(total_tokens), 4) AS avg_tokens,
+       round(avg(triples_count), 4) AS avg_triples,
+       round(avg(batch_size), 4) AS avg_batch_size,
+       round(avg(messages_in_batch), 4) AS avg_messages_in_batch,
+       round(CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / count(*), 2) AS api_success_rate,
+       round(CAST(sum(CASE WHEN parsing_success THEN 1 ELSE 0 END)
+             AS DOUBLE) * 100.0 / count(*), 2) AS parsing_success_rate
+FROM lcalls GROUP BY template_type"""
+
+
+def q_llm_provider_stats(spark, sf_dir):
+    from .plans.llm_metrics import provider_stats
+    return provider_stats(llm_calls_df(spark, sf_dir))
+
+
+SQL_LLM_PROVIDER_STATS = f"""
+WITH {SQL_LLM_CALLS_CTE}
+SELECT provider,
+       count(*) AS total_calls,
+       CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+         AS api_successful,
+       CAST(sum(CASE WHEN parsing_success THEN 1 ELSE 0 END) AS BIGINT)
+         AS parsing_successful,
+       round(avg(duration_seconds), 4) AS avg_duration,
+       round(avg(cost_usd), 4) AS avg_cost_per_call,
+       round(sum(cost_usd), 4) AS total_cost,
+       round(avg(total_tokens), 4) AS avg_tokens,
+       CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+       round(avg(triples_count), 4) AS avg_triples,
+       round(CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / count(*), 2) AS api_success_rate
+FROM lcalls GROUP BY provider"""
+
+
+def q_llm_efficiency_stats(spark, sf_dir):
+    from .plans.llm_metrics import efficiency_stats
+    return efficiency_stats(llm_calls_df(spark, sf_dir))
+
+
+SQL_LLM_EFFICIENCY_STATS = f"""
+WITH {SQL_LLM_CALLS_CTE}
+SELECT provider, template_type,
+       round(avg(CASE WHEN triples_count <> 0
+                 THEN cost_usd / triples_count END), 6)
+         AS avg_cost_per_triple,
+       round(avg(cost_usd), 6) AS avg_cost,
+       round(avg(triples_count), 6) AS avg_triples,
+       count(*) AS n_calls
+FROM lcalls GROUP BY provider, template_type"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1625,4 +1758,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "ann_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embed_flatten": (q_embed_flatten, SQL_EMBED_FLATTEN),
+    "llm_call_ratios": (q_llm_call_ratios, SQL_LLM_CALL_RATIOS),
+    "llm_template_stats": (q_llm_template_stats, SQL_LLM_TEMPLATE_STATS),
+    "llm_provider_stats": (q_llm_provider_stats, SQL_LLM_PROVIDER_STATS),
+    "llm_efficiency_stats": (q_llm_efficiency_stats,
+                             SQL_LLM_EFFICIENCY_STATS),
 }

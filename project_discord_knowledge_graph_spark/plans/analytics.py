@@ -57,6 +57,37 @@ def segment_spread(triples: DataFrame) -> DataFrame:
                  F.countDistinct("subject").alias("n_subjects")))
 
 
+def compare_extraction_runs(rule: DataFrame,
+                            variant: DataFrame) -> DataFrame:
+    """J5/A10 named operator (extraction/app.py:918-940): per-message
+    triple counts + predicate-set overlap between two extraction runs
+    (rule vs LLM/variant), with the reference's disagreement flag
+    (abs count diff >= 2).
+
+    Feed it STAGED inputs: both arms read the classified messages
+    table once (plans/pipeline.py build_triples stage_dir, or a
+    .persist() at small scale) — recomputing the classify stage per
+    arm doubles the most expensive scan at 100 TB."""
+    def per_msg(t, prefix):
+        return t.groupBy("message_id").agg(
+            F.count("*").alias(f"n_{prefix}"),
+            F.collect_set("predicate").alias(f"preds_{prefix}"))
+
+    joined = per_msg(rule, "rule").join(per_msg(variant, "llm"),
+                                        "message_id", "full_outer")
+    empty = F.array().cast("array<string>")
+    pr = F.coalesce("preds_rule", empty)
+    pl = F.coalesce("preds_llm", empty)
+    nr = F.coalesce("n_rule", F.lit(0))
+    nl = F.coalesce("n_llm", F.lit(0))
+    return joined.select(
+        "message_id",
+        nr.alias("n_rule"), nl.alias("n_llm"),
+        F.size(F.array_intersect(pr, pl)).alias("n_common_preds"),
+        F.size(F.array_union(pr, pl)).alias("n_all_preds"),
+        (F.abs(nr - nl) >= 2).alias("disagreement"))
+
+
 def run_stage_metrics(lineage: DataFrame) -> DataFrame:
     """A6-style rollup over the lineage table (replaces the SQLite
     metrics queries): per run+stage totals and timings."""

@@ -133,7 +133,10 @@ def gen_messages(n: int, seed: int = 42) -> list[dict[str, Any]]:
         )
         channel = rng.choice(_CHANNELS)
         author = f"user{rng.randrange(40)}"
-        ts = _BASE_TS + _dt.timedelta(seconds=137 * i + rng.randrange(60))
+        # sub-second component exercises the microsecond-preserving
+        # P2 path (isoformat parity + µs-exact J2 window math) e2e
+        ts = _BASE_TS + _dt.timedelta(seconds=137 * i + rng.randrange(60),
+                                      microseconds=rng.randrange(1_000_000))
         msg = {
             "message_id": f"m{i:09d}",
             "channel": channel,

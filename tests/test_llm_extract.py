@@ -73,3 +73,42 @@ def test_extract_with_llm_fake_provider(spark, msgs):
 def test_extract_with_llm_requires_provider(spark, msgs):
     with pytest.raises(NotImplementedError):
         extract_with_llm(msgs)
+
+
+def test_llm_calls_schema_and_views(spark):
+    """The full 31-column recorder schema feeds every dashboard view;
+    div-by-zero ratios come back null (llm_evaluation_app.py:95-98)."""
+    import datetime as dt
+
+    from project_discord_knowledge_graph_spark.plans.llm_metrics import (
+        LLM_CALLS_SCHEMA, efficiency_stats, provider_stats,
+        template_stats, with_derived_ratios,
+    )
+    assert len(LLM_CALLS_SCHEMA.fields) == 31
+    base = {f.name: None for f in LLM_CALLS_SCHEMA.fields}
+    rows = []
+    for i, (tokens, dur, triples) in enumerate(
+            [(100, 2.0, 4), (0, 0.0, 0), (50, 1.0, 2)]):
+        rows.append(dict(base, call_id=str(i),
+                         timestamp=dt.datetime(2024, 1, 1),
+                         provider="claude", template_type="qa",
+                         success=True, parsing_success=(i != 1),
+                         triples_count=triples, duration_seconds=dur,
+                         total_tokens=tokens, cost_usd=0.25,
+                         batch_size=2, messages_in_batch=3))
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in LLM_CALLS_SCHEMA.fields)
+         for r in rows], LLM_CALLS_SCHEMA)
+    ratios = {r.call_id: r for r in with_derived_ratios(df).collect()}
+    assert ratios["0"].cost_per_token == 0.25 / 100
+    assert ratios["1"].cost_per_token is None       # 0 tokens -> null
+    assert ratios["1"].tokens_per_second is None    # 0 secs  -> null
+    assert ratios["1"].cost_per_triple is None      # 0 triples -> null
+    t = template_stats(df).first()
+    assert t.total_calls == 3 and t.api_success_rate == 100.0
+    assert t.parsing_success_rate == round(200 / 3, 2)
+    p = provider_stats(df).first()
+    assert p.total_tokens == 150 and p.total_cost == 0.75
+    e = efficiency_stats(df).first()
+    # mean over non-null cost_per_triple rows only: (0.0625+0.125)/2
+    assert e.avg_cost_per_triple == 0.09375
