@@ -1556,6 +1556,55 @@ SELECT event_id,
 FROM parsed"""
 
 
+def q_attribute_outputs(spark, sf_dir):
+    """J6 attribution (extractor_llm.py:330-345): synthesized LLM
+    outputs (subject = an author name) joined back to the first
+    message by that author in the same segment."""
+    from .operators.llm_extract import attribute_triples
+    # typed timestamps: string formatting of fractional seconds is
+    # engine-specific (trailing-zero trimming), epoch micros are not
+    msgs = events_messages(spark, sf_dir).select(
+        "message_id", "segment_id", "author",
+        F.col("warc_ts").alias("timestamp"))
+    ev = _t(spark, sf_dir, "events")
+    outputs = (ev.where(F.col("event_id") % 5 == 0)
+               .select(F.expr("event_id div 50").cast("string")
+                       .alias("segment_id"),
+                       F.concat(F.lit("u"),
+                                (F.col("user_id") % 7).cast("string"))
+                       .alias("subject"),
+                       F.lit("states").alias("predicate"),
+                       F.concat(F.lit("o"),
+                                F.col("event_id").cast("string"))
+                       .alias("object")))
+    return attribute_triples(outputs, msgs).select(
+        "segment_id", "subject", "predicate", "object", "message_id",
+        F.unix_micros(F.col("timestamp").cast("timestamp_ltz"))
+         .alias("ts_us"))
+
+
+SQL_ATTRIBUTE_OUTPUTS = f"""
+WITH {EVENTS_MSGS_SQL},
+firsts AS (
+  SELECT segment_id, author AS subject, message_id,
+         epoch_us(ts) AS ts_us
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY segment_id, author
+          ORDER BY ts, message_id) AS rn
+        FROM emsgs)
+  WHERE rn = 1),
+outs AS (
+  SELECT CAST(event_id // 50 AS VARCHAR) AS segment_id,
+         'u' || CAST(user_id % 7 AS VARCHAR) AS subject,
+         'states' AS predicate,
+         'o' || CAST(event_id AS VARCHAR) AS object
+  FROM events WHERE event_id % 5 = 0)
+SELECT o.segment_id, o.subject, o.predicate, o.object,
+       f.message_id, f.ts_us
+FROM outs o JOIN firsts f
+  ON o.segment_id = f.segment_id AND o.subject = f.subject"""
+
+
 # ---------------------------------------------------------------------------
 # llm_calls analytic views (llm_call_recorder + evaluation dashboard)
 # ---------------------------------------------------------------------------
@@ -1763,4 +1812,5 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "llm_provider_stats": (q_llm_provider_stats, SQL_LLM_PROVIDER_STATS),
     "llm_efficiency_stats": (q_llm_efficiency_stats,
                              SQL_LLM_EFFICIENCY_STATS),
+    "kg_attribute_outputs": (q_attribute_outputs, SQL_ATTRIBUTE_OUTPUTS),
 }

@@ -27,8 +27,11 @@ Scale notes:
   list; AQE skew-join splitting (on in session.py) handles hub nodes.
 - convergence is detected by an order-insensitive fingerprint
   (count + bit_xor(xxhash64(u,v)) over the distinct edge set), checked
-  every `check_every` rounds — one small aggregate action per check
-  instead of one join-count action per round.
+  every `check_every` rounds.  The default of 1 is deliberate: a
+  fingerprint is ONE aggregate pass while a round is three shuffles,
+  so detecting convergence a round late costs more than checking every
+  round; raise check_every only if profiling shows the check dominating
+  (very deep graphs with many rounds).
 - lineage is cut at every convergence check; `reliable_checkpoint=True`
   uses `df.checkpoint()` (requires spark.sparkContext.setCheckpointDir)
   so a lost executor cannot force a full-chain recompute at scale —
@@ -48,7 +51,12 @@ logger = logging.getLogger(__name__)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Emit (v, min(Gamma(u) ∪ {u})) for every neighbor v > u."""
+    """Emit (v, min(Gamma(u) ∪ {u})) for every neighbor v > u.
+
+    No distinct here: duplicate edges don't change the following
+    small-star's groupBy(min), and dropping the extra exchange saves
+    one shuffle per round (small-star's final distinct restores set
+    semantics before the fingerprint counts rows)."""
     nbr = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (nbr.groupBy("u").agg(F.min("v").alias("mv"))
@@ -56,8 +64,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return (nbr.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct())
+            .where(F.col("u") != F.col("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -83,7 +90,7 @@ def _fingerprint(edges: DataFrame) -> tuple:
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 50,
-                         check_every: int = 2,
+                         check_every: int = 1,
                          reliable_checkpoint: bool = False,
                          on_nonconverged: str = "raise",
                          return_stats: bool = False):

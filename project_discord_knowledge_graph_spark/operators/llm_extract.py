@@ -128,6 +128,34 @@ def extract_with_llm(messages: DataFrame,
             .applyInPandas(run_group, LLM_TRIPLE_SCHEMA))
 
 
+def attribute_triples(outputs: DataFrame, messages: DataFrame,
+                      batch_col: str = "segment_id") -> DataFrame:
+    """J6: LLM-output -> source-message attribution
+    (extractor_llm.py:330-345 and the three sibling loops).
+
+    The reference scans the batch for the FIRST message whose author
+    equals the triple's subject and stamps its message_id /
+    timestamp onto the triple (batches are timestamp-sorted, so
+    'first' = earliest; message_id added as the explicit tie-break
+    the Python loop gets implicitly from list order).  Outputs whose
+    subject matches no batch author are dropped, exactly as the
+    reference appends nothing.
+
+    Spark shape: one window to pick each (batch, author)'s first
+    message, then an equi hash join on (batch, author) — the O(n*m)
+    per-batch scan becomes a single shuffle pair."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(batch_col, "author") \
+              .orderBy("timestamp", "message_id")
+    first = (messages
+             .withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select(F.col(batch_col), F.col("author").alias("subject"),
+                     "message_id", "timestamp"))
+    return outputs.join(first, [batch_col, "subject"], "inner")
+
+
 def cost_summary(llm_triples: DataFrame) -> DataFrame:
     """Per-segment cost rollup (the dashboards' A6/A11 shape over the
     lineage metrics, llm_evaluation_app.py:205-380)."""
