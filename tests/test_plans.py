@@ -86,6 +86,24 @@ def test_classifier_stays_jvm_side(spark, pages_path):
     assert "ReadSchema: struct<html:binary>" in scan
 
 
+def test_new_queries_have_sane_plans(spark):
+    """Regression net for the round-2 operators: no cartesian
+    products anywhere; the flatten and the normalizer stay narrow
+    (zero exchanges)."""
+    from project_discord_knowledge_graph_spark import entry_queries as EQ
+    sf = "/root/testdata/sf0.001"
+    narrow = {"discord_flatten", "scalar_ts_normalize"}
+    for name in ("kg_prune_candidates", "discord_flatten",
+                 "ann_lsh_topk", "scalar_ts_normalize",
+                 "kg_attribute_outputs", "llm_template_stats"):
+        fn, _sql = EQ.QUERIES[name]
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        if name in narrow:
+            assert "Exchange" not in plan, name
+
+
 def test_mention_link_join_is_hash_equi(spark, pages_path):
     """J2's equi part (segment, author) must hash; the 10-minute
     window must be a residual condition, not a cross join."""
