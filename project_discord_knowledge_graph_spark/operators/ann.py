@@ -150,15 +150,24 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 8, dim: int = 64,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             probe_hamming: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing:
-    (id_a, id_b, sim) with sim >= threshold, id_a < id_b."""
+    (id_a, id_b, sim) with sim >= threshold, id_a < id_b.
+
+    probe_hamming=1 also joins Hamming-adjacent buckets (one-sided
+    probing suffices for pairs: if the two signatures differ in at
+    most one bit, a's probe set contains b's bucket), trading
+    ~n_planes x candidate volume for recall on boundary-straddling
+    near-dups."""
     b = with_lsh_bucket(
         df.select(F.col(id_col).alias("id"),
                   _as_double(vec_col).alias("v"), F.col(vec_col)),
         n_planes, dim).drop(vec_col)
     a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                 "bucket")
+                 F.explode(probe_buckets_expr("bucket", n_planes,
+                                              probe_hamming))
+                  .alias("bucket"))
     c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                  "bucket")
     return (a.join(c, "bucket")

@@ -80,6 +80,44 @@ def test_classifier_parity_on_fuzz(fuzz_df):
         assert r.type == want, repr(r.clean_text)
 
 
+def test_timestamp_normalize_parity_on_fuzz(spark):
+    """P2 fuzz: dirty-but-well-formed ISO strings (plus invalid
+    calendar values and garbage) through the Spark normalizer vs the
+    port, exact string equality.  The generated dialect sticks to
+    2-digit fields (Python's fromisoformat and Spark's parser agree
+    there); known divergence classes are excluded by construction:
+    single-digit components (Spark accepts, Python rejects) and
+    date-only strings (the reference's '-' -in-tail branch makes them
+    machine-local-timezone-dependent)."""
+    from project_discord_knowledge_graph_spark.functions.timestamps import (
+        normalize_timestamps,
+    )
+    rng = random.Random(7)
+    parts = dict(
+        y=["2023", "2024"], m=["01", "02", "06", "12", "13"],
+        d=["00", "01", "15", "28", "29", "30", "31", "32"],
+        sep=["T", " "], H=["00", "12", "23", "24"],
+        M=["00", "30", "59", "60"], S=["00", "59"],
+        frac=["", ".123", ".500000", ".999999"],
+        tz=["", "Z", "+00:00", "+05:30", "-04:00", "+14:00", "junk"],
+    )
+    texts = []
+    for _ in range(600):
+        p = {k: rng.choice(v) for k, v in parts.items()}
+        texts.append(f"{p['y']}-{p['m']}-{p['d']}{p['sep']}"
+                     f"{p['H']}:{p['M']}:{p['S']}{p['frac']}{p['tz']}")
+    texts += ["", "   ", "not a date", "2024-02-29T23:59:59.999999Z"]
+
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], ["id", "raw"])
+    rows = normalize_timestamps(df, "raw").collect()
+    for r in rows:
+        t = texts[int(r.id)]
+        want = ref.normalize_timestamp(t)
+        assert r.timestamp_iso == want, repr(t)
+        assert r.raw_valid == (want is not None), repr(t)
+
+
 def test_extraction_parity_on_fuzz(spark, fuzz_df):
     texts, df = fuzz_df
     msgs = (df.select(
