@@ -24,12 +24,18 @@ import sys
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True,
+    ap.add_argument("--pages", default=None,
                     help="input pages table path (url, warc_ts, html, "
                          "text, lang)")
+    ap.add_argument("--export-json", default=None,
+                    help="Discord channel-export JSON path/glob: run "
+                         "the export front door (flatten -> classify "
+                         "-> extract -> link -> dedup) instead of the "
+                         "resumable pages pipeline")
     ap.add_argument("--out", required=True, help="output base path")
-    ap.add_argument("--lineage", required=True,
-                    help="lineage/metrics table path")
+    ap.add_argument("--lineage", default=None,
+                    help="lineage/metrics table path (required with "
+                         "--pages)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="url-hash resume buckets")
     ap.add_argument("--after-ts", default=None,
@@ -42,23 +48,38 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    if not args.pages and not args.export_json:
+        ap.error("one of --pages / --export-json is required")
+    if args.pages and not args.lineage:
+        ap.error("--lineage is required with --pages")
+
     from project_discord_knowledge_graph_spark.session import get_spark
     spark = get_spark("kg-pipeline", master=args.master)
 
-    if args.synth:
-        from project_discord_knowledge_graph_spark.sources.synth_dist \
-            import write_pages_dist
-        write_pages_dist(spark, args.pages, n=args.synth)
+    if args.export_json:
+        from project_discord_knowledge_graph_spark.plans.pipeline import (
+            build_triples_from_export,
+        )
+        triples = build_triples_from_export(spark, args.export_json)
+        triples.write.mode("overwrite").parquet(f"{args.out}/triples")
+        print(json.dumps({
+            "triples_out":
+                spark.read.parquet(f"{args.out}/triples").count()}))
+    else:
+        if args.synth:
+            from project_discord_knowledge_graph_spark.sources.synth_dist \
+                import write_pages_dist
+            write_pages_dist(spark, args.pages, n=args.synth)
 
-    from project_discord_knowledge_graph_spark.plans.lineage import (
-        run_resumable,
-    )
-    summary = run_resumable(spark, args.pages, args.out, args.lineage,
-                            n_buckets=args.buckets)
-    print(json.dumps(summary))
+        from project_discord_knowledge_graph_spark.plans.lineage import (
+            run_resumable,
+        )
+        summary = run_resumable(spark, args.pages, args.out,
+                                args.lineage, n_buckets=args.buckets)
+        print(json.dumps(summary))
 
-    if summary.get("pending_buckets"):
-        sys.exit(3)  # crashed/partial: re-invoke to resume
+        if summary.get("pending_buckets"):
+            sys.exit(3)  # crashed/partial: re-invoke to resume
 
     if args.link_entities:
         from project_discord_knowledge_graph_spark.operators.entity import (
