@@ -1626,6 +1626,7 @@ def llm_calls_df(spark, sf_dir) -> DataFrame:
         F.array(*[F.lit(v) for v in vals]), (k + 1).cast("int"))
     return ev.select(
         eid.cast("string").alias("call_id"),
+        F.col("ts").cast("timestamp_ltz").alias("timestamp"),
         pick(_PROVIDERS, uid % 3).alias("provider"),
         pick(_TEMPLATES, eid % 4).alias("template_type"),
         (eid % 13 != 0).alias("success"),
@@ -1644,6 +1645,7 @@ def llm_calls_df(spark, sf_dir) -> DataFrame:
 SQL_LLM_CALLS_CTE = """
 lcalls AS (
   SELECT CAST(event_id AS VARCHAR) AS call_id,
+         ts AS timestamp,
          CASE CAST(user_id % 3 AS INTEGER)
            WHEN 0 THEN 'claude' WHEN 1 THEN 'openai'
            ELSE 'groq' END AS provider,
@@ -1737,6 +1739,19 @@ SELECT provider,
 FROM lcalls GROUP BY provider"""
 
 
+def q_llm_hourly_activity(spark, sf_dir):
+    from .plans.llm_metrics import hourly_activity
+    return hourly_activity(llm_calls_df(spark, sf_dir))
+
+
+SQL_LLM_HOURLY_ACTIVITY = f"""
+WITH {SQL_LLM_CALLS_CTE}
+SELECT CAST(hour(timestamp) AS INTEGER) AS hour,
+       count(*) AS calls,
+       round(sum(cost_usd), 4) AS cost_usd
+FROM lcalls GROUP BY 1"""
+
+
 def q_llm_efficiency_stats(spark, sf_dir):
     from .plans.llm_metrics import efficiency_stats
     return efficiency_stats(llm_calls_df(spark, sf_dir))
@@ -1812,5 +1827,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "llm_provider_stats": (q_llm_provider_stats, SQL_LLM_PROVIDER_STATS),
     "llm_efficiency_stats": (q_llm_efficiency_stats,
                              SQL_LLM_EFFICIENCY_STATS),
+    "llm_hourly_activity": (q_llm_hourly_activity,
+                            SQL_LLM_HOURLY_ACTIVITY),
     "kg_attribute_outputs": (q_attribute_outputs, SQL_ATTRIBUTE_OUTPUTS),
 }

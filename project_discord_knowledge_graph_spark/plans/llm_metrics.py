@@ -129,6 +129,15 @@ def provider_stats(calls: DataFrame) -> DataFrame:
     )
 
 
+def hourly_activity(calls: DataFrame) -> DataFrame:
+    """Calls per hour-of-day + hourly timeline
+    (llm_evaluation_app.py:620-646: df['hour'] = timestamp.dt.hour,
+    groupby size)."""
+    return (calls.groupBy(F.hour("timestamp").alias("hour"))
+            .agg(F.count("*").alias("calls"),
+                 F.round(F.sum("cost_usd"), 4).alias("cost_usd")))
+
+
 def efficiency_stats(calls: DataFrame) -> DataFrame:
     """Cost-efficiency by (provider, template_type)
     (llm_evaluation_app.py:604-612); cost_per_triple averages over

@@ -138,9 +138,12 @@ def thread_slug_expr(thread: Column) -> Column:
 
 def segment_id_expr(thread: Column, channel: Column, author: Column,
                     raw_ts: Column) -> Column:
-    """preprocessor.py:140-166 — native md5 matches hashlib.md5."""
+    """preprocessor.py:140-166 — native md5 matches hashlib.md5.
+    An EMPTY thread name is falsy in the reference (`if thread_name:`)
+    and must fall through to the hash branch, same as null."""
     key = F.concat_ws("-", channel, author, hour_window_expr(raw_ts))
-    return F.when(thread.isNotNull(), thread_slug_expr(thread)) \
+    return F.when(thread.isNotNull() & (thread != ""),
+                  thread_slug_expr(thread)) \
             .otherwise(F.concat(F.lit("segment-"),
                                 F.substring(F.md5(key), 1, 8)))
 

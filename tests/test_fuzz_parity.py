@@ -118,6 +118,41 @@ def test_timestamp_normalize_parity_on_fuzz(spark):
         assert r.raw_valid == (want is not None), repr(t)
 
 
+def test_segment_id_parity_on_fuzz(spark):
+    """A1 fuzz: the export source's segment-id expression (thread
+    slug / md5 hour-bucket from the RAW timestamp's wall clock) vs
+    the port, over hostile thread names, unicode authors, and dirty
+    timestamps."""
+    from pyspark.sql import functions as F2
+
+    from project_discord_knowledge_graph_spark.sources.discord_export \
+        import segment_id_expr
+
+    rng = random.Random(31)
+    threads = [None, None, None, "BTC Talk!", "über-Thread",
+               "a  b\tc", "日本語スレ", "x" * 80, "(regex)[chars].*",
+               "", "UPPER lower 123"]
+    channels = ["unknown", "general", "trading-floor", "ü-chan"]
+    authors = ["alice", "BOB", "user über", "日本", "a|b-c"]
+    stamps = ["2024-01-02T03:04:05Z", "2024-01-02T23:30:00+02:00",
+              "2024-01-02 03:04:05.123456", "garbage", "",
+              "2024-12-31T23:59:59Z"]
+    rows = []
+    for i in range(400):
+        rows.append((str(i), rng.choice(threads), rng.choice(channels),
+                     rng.choice(authors), rng.choice(stamps)))
+    df = spark.createDataFrame(
+        rows, ["id", "thread", "channel", "author", "raw_ts"])
+    got = {r.id: r.seg for r in df.select(
+        "id", segment_id_expr(F2.col("thread"), F2.col("channel"),
+                              F2.col("author"), F2.col("raw_ts"))
+        .alias("seg")).collect()}
+    for rid, thread, channel, author, raw in rows:
+        # reference semantics: empty thread string is falsy -> hash
+        want = ref.segment_id(thread or None, channel, author, raw)
+        assert got[rid] == want, (thread, channel, author, raw)
+
+
 def test_extraction_parity_on_fuzz(spark, fuzz_df):
     texts, df = fuzz_df
     msgs = (df.select(
