@@ -63,6 +63,51 @@ def streaming_triples(pages_stream: DataFrame, out_path: str,
     return writer.start()
 
 
+def stream_discord_exports(spark: SparkSession, path: str,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
+    """S1 as a stream: channel-export JSON files landing in a folder
+    (the reference's daily export drop, entrypoint.sh:8-83) become a
+    file-source stream with the explicit export schema — each arriving
+    file is one channel export, flattened to preprocessed messages."""
+    from ..sources.discord_export import EXPORT_SCHEMA, export_to_messages
+    reader = spark.readStream.schema(EXPORT_SCHEMA) \
+        .option("multiLine", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return export_to_messages(reader.json(path))
+
+
+def streaming_export_triples(messages_stream: DataFrame, out_path: str,
+                             checkpoint: str,
+                             available_now: bool = True):
+    """Flattened export-message stream -> triples, exactly-once per
+    micro-batch (classify + extract + link + dedup inside
+    foreachBatch, same as the pages path)."""
+    from ..operators.classify import with_type
+    from ..operators.dedup import aggregate_triples
+    from ..operators.extract import extract_triples
+    from ..operators.link import link_qa
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        msgs = with_type(batch_df)
+        triples = aggregate_triples(extract_triples(msgs), link_qa(msgs))
+        (triples.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(out_path))
+
+    writer = (messages_stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hourly_type_counts(pages_stream: DataFrame,
                        watermark: str = "2 hours") -> DataFrame:
     """W4 hour buckets as a streaming windowed aggregate: counts of

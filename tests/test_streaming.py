@@ -58,6 +58,61 @@ def test_streaming_triples_matches_batch(spark, landing,
     assert _spo(spark.read.parquet(out)) == want
 
 
+def test_streaming_discord_exports(spark, tmp_path_factory):
+    """S1 streaming: channel-export JSON files landing one per
+    micro-batch, flattened + run through the full rule path with
+    exactly-once file tracking (a re-run with nothing new is a
+    no-op; a newly landed export processes incrementally)."""
+    import json as _json
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stream_discord_exports, streaming_export_triples,
+    )
+
+    base = tmp_path_factory.mktemp("exp_stream")
+    land = base / "landing"
+    land.mkdir()
+
+    def export(n, qid):
+        return {"channel": {"id": f"c{n}", "name": f"chan{n}"},
+                "messages": [
+                    {"id": qid,
+                     "timestamp": f"2024-01-0{n}T03:00:00Z",
+                     "content": "what should i buy, btc or eth?",
+                     "author": {"id": "a1", "name": "Asker"}},
+                    {"id": qid + "-al",
+                     "timestamp": f"2024-01-0{n}T03:01:00Z",
+                     "content": "alert: fomc meeting starts soon",
+                     "author": {"id": "a2", "name": "Alerter"}}]}
+
+    (land / "e1.json").write_text(_json.dumps(export(1, "q1")))
+    (land / "e2.json").write_text(_json.dumps(export(2, "q2")))
+
+    out, ckpt = str(base / "triples"), str(base / "ckpt")
+    q = streaming_export_triples(
+        stream_discord_exports(spark, str(land), max_files_per_trigger=1),
+        out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() >= 2
+    assert got.count() == 4  # 2 exports x (asks_about + alerts)
+
+    # nothing new -> no-op
+    q2 = streaming_export_triples(
+        stream_discord_exports(spark, str(land)), out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 4
+
+    # a third export lands -> only it is processed
+    (land / "e3.json").write_text(_json.dumps(export(3, "q3")))
+    q3 = streaming_export_triples(
+        stream_discord_exports(spark, str(land)), out, ckpt)
+    q3.awaitTermination(60)
+    got3 = spark.read.parquet(out)
+    assert got3.count() == 6
+    assert "q3" in {r.message_id for r in got3.collect()}
+
+
 def test_hourly_window_stream(spark, landing, tmp_path_factory):
     base = tmp_path_factory.mktemp("win_out")
     out, ckpt = str(base / "counts"), str(base / "ckpt")
