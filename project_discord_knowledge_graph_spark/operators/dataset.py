@@ -110,6 +110,51 @@ def simhash(df: DataFrame, text_col: str = "text",
     return sums.select(F.col(id_col), bitstr.alias("simhash"))
 
 
+def near_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               jaccard_distance: float = 0.3,
+               min_exact_jaccard: float = 0.7,
+               num_hash_tables: int = 6, shingle: int = 8) -> DataFrame:
+    """The production near-duplicate dedup composition:
+
+        MinHash-LSH blocking  ->  exact shingle-Jaccard verify
+          ->  connected components over surviving pairs
+          ->  keep the min-id representative per duplicate cluster
+
+    Returns (doc_id, keep_id, is_dup): every input row, mapped to its
+    cluster representative (itself when unique).  Each stage is the
+    already-tested operator (minhash_lsh_pairs /
+    operators.components.connected_components), so the composite adds
+    no new shuffle pattern: candidates only ever exist inside LSH
+    buckets — never all-pairs — and the CC pass runs on the (sparse)
+    verified-pair edge list, which for near-dup clusters is shallow
+    (2-4 rounds).
+    """
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, jaccard_distance,
+                              num_hash_tables, shingle)
+    # exact verify: recompute true shingle jaccard on candidates only
+    grams = df.select(
+        F.col(id_col),
+        F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+         .alias("g"))
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("ga"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("gb"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .where(F.size(F.array_intersect("ga", "gb"))
+                       / F.size(F.array_union("ga", "gb"))
+                       >= min_exact_jaccard)
+                .select("id_a", "id_b"))
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    return (df.select(F.col(id_col))
+            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col))
+                     .alias("keep_id"))
+            .withColumn("is_dup", F.col("keep_id") != F.col(id_col)))
+
+
 def ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n_words: int = 3,

@@ -179,6 +179,45 @@ def test_minhash_lsh_recall_gate(spark):
     assert recall >= 0.9, recall
 
 
+def test_near_dedup_composition(spark):
+    """LSH block -> exact verify -> CC -> keep-min, end to end: every
+    perturbed copy collapses onto its base doc; unrelated docs
+    survive as their own representatives."""
+    import hashlib
+
+    from project_discord_knowledge_graph_spark.operators.dataset import (
+        near_dedup,
+    )
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def words(seed, n=40):
+        return [vocab[int(hashlib.md5(f"{seed}:{i}".encode())
+                          .hexdigest(), 16) % len(vocab)]
+                for i in range(n)]
+
+    rows = []
+    for d in range(15):
+        base = words(f"base{d}")
+        pert = list(base)
+        pert[5] = "zzz"
+        rows.append((2 * d, " ".join(base)))
+        rows.append((2 * d + 1, " ".join(pert)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.keep_id, r.is_dup)
+           for r in near_dedup(docs, jaccard_distance=0.4,
+                               min_exact_jaccard=0.7,
+                               shingle=6).collect()}
+    assert len(out) == 30
+    collapsed = 0
+    for d in range(15):
+        assert out[2 * d] == (2 * d, False)          # base keeps itself
+        keep, dup = out[2 * d + 1]
+        if dup:
+            assert keep == 2 * d
+            collapsed += 1
+    assert collapsed >= 13  # LSH recall >= ~0.9 on near-identical docs
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.999,
                                      n_planes=4, dim=8)
