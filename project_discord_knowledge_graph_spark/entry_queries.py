@@ -1022,14 +1022,23 @@ _VARIANT_TYPES = ("question", "alert", "performance", "strategy",
                   "question", "alert", "answer", "answer")
 
 
+_CMP_CACHE: list = []
+
+
 def q_cmp_extract_variants(spark, sf_dir):
     """J5/A10: rule-path extraction vs a second 'variant' extraction
     (preset types), compared with the named compare_extraction_runs
     operator (extraction/app.py:918-940).  The classified base is
     persisted so BOTH arms read it once — at production scale the
-    same shape stages to parquet via build_triples(stage_dir=...)."""
+    same shape stages to parquet via build_triples(stage_dir=...).
+    At most one cached copy lives at a time: each invocation
+    unpersists the previous one (can't unpersist our own before the
+    caller collects)."""
     from .plans.analytics import compare_extraction_runs
+    while _CMP_CACHE:
+        _CMP_CACHE.pop().unpersist()
     msgs = docs_messages(spark, sf_dir).persist()
+    _CMP_CACHE.append(msgs)
     rule = extract_triples(msgs)
     variant_type = F.element_at(
         F.array(*[F.lit(t) for t in _VARIANT_TYPES]),

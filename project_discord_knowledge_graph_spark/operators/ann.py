@@ -83,8 +83,14 @@ def with_lsh_bucket(df: DataFrame, n_planes: int = 12, dim: int = 64,
     Each dot product is one aggregate over a zip_with against a
     literal plane array — n_planes expressions total, independent of
     dim, instead of n_planes*dim unrolled terms (which hits codegen
-    limits at dim 768)."""
-    v = _as_double(vec_col)
+    limits at dim 768).
+
+    Vectors longer than `dim` are sliced to the first dim components
+    (a fixed projection — without the slice, zip_with would pad the
+    plane with nulls and null-poison every dot product into the
+    all-zeros bucket).  Vectors SHORTER than dim null out their dot
+    products and land in the all-zeros bucket; pass the true dim."""
+    v = F.slice(_as_double(vec_col), 1, dim)
     bits = []
     for row in plane_components(n_planes, dim):
         plane = F.array(*[F.lit(x) for x in row])

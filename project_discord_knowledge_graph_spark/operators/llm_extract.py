@@ -143,7 +143,13 @@ def attribute_triples(outputs: DataFrame, messages: DataFrame,
 
     Spark shape: one window to pick each (batch, author)'s first
     message, then an equi hash join on (batch, author) — the O(n*m)
-    per-batch scan becomes a single shuffle pair."""
+    per-batch scan becomes a single shuffle pair.
+
+    Any message_id/timestamp columns already on `outputs` (e.g. the
+    batch-level stamps extract_with_llm emits) are REPLACED by the
+    matched message's values, exactly as the reference overwrites the
+    Triple fields — and so the join never produces ambiguous duplicate
+    column names."""
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy(batch_col, "author") \
@@ -153,6 +159,7 @@ def attribute_triples(outputs: DataFrame, messages: DataFrame,
              .where(F.col("_rn") == 1)
              .select(F.col(batch_col), F.col("author").alias("subject"),
                      "message_id", "timestamp"))
+    outputs = outputs.drop("message_id", "timestamp")
     return outputs.join(first, [batch_col, "subject"], "inner")
 
 

@@ -44,6 +44,14 @@ at preprocessor.py:54-57, 64-65).  A fixed columnar schema represents
 the well-formed export shape; malformed-variant files should be
 routed through read_jsonl + a mapInPandas repair pass instead of
 weakening every scan's schema.
+
+Documented deviation (explicit null vs missing key): a columnar
+schema cannot distinguish `"name": null` from an absent key, so
+explicit-null fields take the same defaults as missing ones.  The
+reference's dict.get() would instead surface the None (producing
+artifacts like a 'thread-None' segment when `"channelId": null`);
+real exports omit keys rather than null them, and the default-on-null
+behavior is the saner of the two for the ones that don't.
 """
 
 from __future__ import annotations
@@ -116,16 +124,31 @@ def _empty(arr_type: str) -> Column:
     return F.array().cast(arr_type)
 
 
+# fromisoformat's padded shape, anchored: the positional slices below
+# are only meaningful when the string starts exactly 'yyyy-mm-dd' and,
+# if a time follows, with a 2-digit hour.  Spark's parser is more
+# lenient (leading whitespace, unpadded fields) — those strings must
+# fall to 'unknown' like the reference, not be sliced blindly.
+_ISO_PREFIX = r"^\d{4}-\d{2}-\d{2}([T ]\d{2}(:|$)|$)"
+
+
 def hour_window_expr(raw: Column) -> Column:
     """generate_segment_id's time window (preprocessor.py:153-158):
     the RAW string's wall-clock date+hour as 'yyyyMMdd-HH' (strftime
     on the fromisoformat result keeps the written zone's wall clock),
-    'unknown' when the string doesn't parse."""
+    'unknown' when the string doesn't parse.
+
+    Validity gate = strict padded-ISO prefix regex AND a successful
+    parse (calendar-range check): Spark's lenient parser alone would
+    accept forms fromisoformat rejects (leading space, single-digit
+    fields) and the positional slices would emit garbage windows.
+    Residual documented divergence: compact ISO ('20240102T030405'),
+    which fromisoformat accepts but lands on 'unknown' here."""
     date8 = F.regexp_replace(F.substring(raw, 1, 10), "-", "")
     hh = F.when(F.length(raw) >= 13, F.substring(raw, 12, 2)) \
           .otherwise(F.lit("00"))
-    return F.when(parse_timestamp_expr(raw).isNotNull(),
-                  F.concat(date8, F.lit("-"), hh)) \
+    ok = raw.rlike(_ISO_PREFIX) & parse_timestamp_expr(raw).isNotNull()
+    return F.when(ok, F.concat(date8, F.lit("-"), hh)) \
             .otherwise(F.lit("unknown"))
 
 
@@ -232,7 +255,10 @@ def export_to_messages(exports: DataFrame,
     cols = flatten_message_cols(F.col("m"), F.col("channel"))
     out = base.select(*[c.alias(k) for k, c in cols.items()])
     if drop_empty:
-        out = out.where(F.trim(F.col("content")) != "")
+        # content.strip() == '' in Python strips ALL whitespace (tabs,
+        # newlines, NBSP) — Spark's trim() strips only ' ', so use a
+        # unicode-aware all-whitespace regex instead
+        out = out.where(~F.col("content").rlike(r"^(?U)\s*$"))
     return out
 
 

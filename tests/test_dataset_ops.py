@@ -129,6 +129,19 @@ def clustered_vectors(spark):
     return spark.createDataFrame(rows, ["vec_id", "embedding"])
 
 
+def test_lsh_bucket_slices_long_vectors(spark, clustered_vectors):
+    """A 64-dim corpus bucketed with dim=8 must project onto the
+    first 8 components — NOT null-poison every row into the all-zeros
+    bucket (zip_with pads the shorter literal plane with nulls)."""
+    from project_discord_knowledge_graph_spark.operators.ann import (
+        with_lsh_bucket,
+    )
+    b = with_lsh_bucket(clustered_vectors, n_planes=4, dim=8)
+    buckets = {r.bucket for r in b.select("bucket").distinct().collect()}
+    assert len(buckets) > 1
+    assert buckets != {"0000"}
+
+
 def test_lsh_topk_recall_gate(spark, clustered_vectors):
     """The scale path's hard number: bucketed ANN with Hamming-1
     multi-probe must recover >= 0.9 of the exact top-5, and

@@ -55,6 +55,13 @@ EXPORT = {
             "content": "   ",
             "author": {"id": "a4", "name": "Eve"},
         },
+        {   # tab/newline-only content: Python strip() drops it too
+            # (Spark trim() would not — the drop uses a (?U)\s regex)
+            "id": "m8",
+            "timestamp": "2024-01-02T04:02:00Z",
+            "content": "\n\t  ",
+            "author": {"id": "a8", "name": "Wendy"},
+        },
         {   # unparseable timestamp -> quarantined ts, 'unknown' window
             "id": "m5",
             "timestamp": "yesterday-ish",

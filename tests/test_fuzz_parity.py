@@ -136,7 +136,11 @@ def test_segment_id_parity_on_fuzz(spark):
     authors = ["alice", "BOB", "user über", "日本", "a|b-c"]
     stamps = ["2024-01-02T03:04:05Z", "2024-01-02T23:30:00+02:00",
               "2024-01-02 03:04:05.123456", "garbage", "",
-              "2024-12-31T23:59:59Z"]
+              "2024-12-31T23:59:59Z",
+              " 2024-01-02T03:04:05Z",   # leading space: unknown (both)
+              "2024-1-5 3:04:05",        # unpadded: unknown (both)
+              "2024-01-02",              # date-only: hour 00 (both)
+              "2024-13-02T03:04:05Z"]    # bad month: unknown (both)
     rows = []
     for i in range(400):
         rows.append((str(i), rng.choice(threads), rng.choice(channels),

@@ -75,6 +75,31 @@ def test_extract_with_llm_requires_provider(spark, msgs):
         extract_with_llm(msgs)
 
 
+def test_attribute_triples_composes_with_llm_output(spark):
+    """J6 must accept extract_with_llm-shaped outputs (which already
+    carry message_id/timestamp batch stamps) and REPLACE those fields
+    with the matched message's values — no ambiguous columns."""
+    from project_discord_knowledge_graph_spark.operators.llm_extract import (
+        attribute_triples,
+    )
+    messages = spark.createDataFrame(
+        [("m1", "s1", "alice", "2024-01-01T00:00:00+00:00"),
+         ("m2", "s1", "alice", "2024-01-01T00:05:00+00:00"),
+         ("m3", "s1", "bob", "2024-01-01T00:01:00+00:00")],
+        ["message_id", "segment_id", "author", "timestamp"])
+    outputs = spark.createDataFrame(
+        [("alice", "states", "x", "BATCH", "s1", "BATCHTS", 0.9),
+         ("carol", "states", "y", "BATCH", "s1", "BATCHTS", 0.9)],
+        ["subject", "predicate", "object", "message_id", "segment_id",
+         "timestamp", "confidence"])
+    rows = attribute_triples(outputs, messages).collect()
+    assert len(rows) == 1                      # no alice-less carol
+    r = rows[0]
+    assert r.message_id == "m1"                # first by timestamp
+    assert r.timestamp == "2024-01-01T00:00:00+00:00"
+    assert r.predicate == "states" and r.confidence == 0.9
+
+
 def test_llm_calls_schema_and_views(spark):
     """The full 31-column recorder schema feeds every dashboard view;
     div-by-zero ratios come back null (llm_evaluation_app.py:95-98)."""
