@@ -1151,6 +1151,23 @@ SELECT event_id, 'last' AS which FROM
   (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 5)"""
 
 
+def q_sample_hash(spark, sf_dir):
+    """S9 random-N sampling, scale-correct form: a deterministic
+    hash-based Bernoulli sample (md5 first hex char in a fixed set ->
+    exact 1/8 expected rate, reproducible across engines and runs,
+    no driver-side RNG state — unlike df.sample, which is seed- and
+    partitioning-dependent)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    return (ev.where(key.isin("0", "1"))
+            .select("event_id", "event_type"))
+
+
+SQL_SAMPLE_HASH = """
+SELECT event_id, event_type FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')"""
+
+
 def q_win_lag_delta(spark, sf_dir):
     """W1/W3: per-user ordering with lag — value delta vs previous
     event."""
@@ -1816,6 +1833,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cmp_extract_variants": (q_cmp_extract_variants,
                              SQL_CMP_EXTRACT_VARIANTS),
     "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
     "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "agg_embed_stats": (q_embed_stats, SQL_EMBED_STATS),
