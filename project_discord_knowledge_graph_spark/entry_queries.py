@@ -464,6 +464,50 @@ WHERE a.type = 'answer' AND q.type = 'question'
   AND a.mention IS NOT NULL"""
 
 
+def q_link_semantic(spark, sf_dir):
+    """J3 (extractor.py:494-543): drives link_by_similarity ITSELF
+    (operators/link.py) over precomputed embeddings — each message
+    joins its vector from the embeddings table (vec key = message id
+    mod 500, the production 'embed once, store, join' shape), then the
+    segment-blocked cosine join with the reference threshold 0.3.
+    time_window_minutes=120 (the operator's knob; the reference
+    default is 10) because the synthetic events corpus spans 30 days —
+    at 10 min only 4 pairs survive the joint filter, too thin to gate
+    the cosine semantics."""
+    from .operators.link import link_by_similarity
+    questions, answers = split_qa(events_messages(spark, sf_dir))
+    emb = _t(spark, sf_dir, "embeddings")
+    q = questions.join(
+        emb.select(F.col("vec_id").alias("_vid"),
+                   F.col("embedding").alias("q_vec")),
+        questions.q_id.cast("long") % 500 == F.col("_vid")).drop("_vid")
+    a = answers.join(
+        emb.select(F.col("vec_id").alias("_vid"),
+                   F.col("embedding").alias("a_vec")),
+        answers.a_id.cast("long") % 500 == F.col("_vid")).drop("_vid")
+    return link_by_similarity(q, a, time_window_minutes=120).select(
+        "subject", "predicate", "object", "message_id", "confidence")
+
+
+SQL_LINK_SEMANTIC = f"""
+WITH {EVENTS_MSGS_SQL},
+qv AS (SELECT m.*, CAST(e.embedding AS DOUBLE[]) AS vec FROM emsgs m
+       JOIN embeddings e ON CAST(m.message_id AS BIGINT) % 500 = e.vec_id
+       WHERE m.type = 'question'),
+av AS (SELECT m.*, CAST(e.embedding AS DOUBLE[]) AS vec FROM emsgs m
+       JOIN embeddings e ON CAST(m.message_id AS BIGINT) % 500 = e.vec_id
+       WHERE m.type = 'answer'),
+pairs AS (
+  SELECT q.message_id AS q_id, a.message_id AS a_id,
+         round(list_cosine_similarity(q.vec, a.vec), 6) AS sim
+  FROM av a JOIN qv q ON a.segment_id = q.segment_id
+  WHERE epoch_us(a.ts) - epoch_us(q.ts)
+        BETWEEN 0 AND CAST(7200000000 AS BIGINT))
+SELECT q_id AS subject, 'answered_by' AS predicate, a_id AS object,
+       q_id || '_semantic_' || a_id AS message_id, sim AS confidence
+FROM pairs WHERE sim > 0.3"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregation / window / analytics queries (A/W/SO families)
 # ---------------------------------------------------------------------------
@@ -1036,7 +1080,10 @@ def q_cmp_extract_variants(spark, sf_dir):
     caller collects)."""
     from .plans.analytics import compare_extraction_runs
     while _CMP_CACHE:
-        _CMP_CACHE.pop().unpersist()
+        try:  # prior entry may belong to a stopped SparkSession
+            _CMP_CACHE.pop().unpersist()
+        except Exception:
+            pass
     msgs = docs_messages(spark, sf_dir).persist()
     _CMP_CACHE.append(msgs)
     rule = extract_triples(msgs)
@@ -1813,6 +1860,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_triples_dedup": (q_triples_dedup, SQL_TRIPLES_DEDUP),
     "kg_link_replies": (q_link_replies, SQL_LINK_REPLIES),
     "kg_link_mentions": (q_link_mentions, SQL_LINK_MENTIONS),
+    "kg_link_semantic": (q_link_semantic, SQL_LINK_SEMANTIC),
     "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
     "agg_confidence_stats": (q_confidence_stats, SQL_CONFIDENCE_STATS),
     "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),

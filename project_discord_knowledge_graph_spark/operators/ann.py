@@ -108,6 +108,10 @@ def probe_buckets_expr(bucket_col: str, n_planes: int,
     """
     if hamming == 0:
         return F.array(F.col(bucket_col))
+    if hamming > 1:
+        raise ValueError(
+            f"probe_buckets_expr implements distance-1 expansion only; "
+            f"got hamming={hamming}")
     return F.expr(
         f"array_union(array({bucket_col}), transform(sequence(1,"
         f" {n_planes}), i -> concat(substr({bucket_col}, 1, i - 1),"

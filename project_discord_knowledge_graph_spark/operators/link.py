@@ -117,30 +117,49 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
 
     `embed_udf` is a pandas UDF text -> array<float> (in production a
     sentence-transformer loaded per executor; tests inject a
-    deterministic hash embedder).  The join is equi on segment_id with
+    deterministic hash embedder).  Alternatively the inputs may carry
+    PRECOMPUTED `q_vec` / `a_vec` array columns (embed_udf=None) — the
+    production shape at corpus scale: embed each message once, store
+    the vectors, and join them in, instead of re-embedding inside
+    every link join.  The join is equi on segment_id with
     time + cosine residual predicates — the segment bound is the
     blocking that keeps this from being a cross join at scale; for
     unbounded corpora use operators/ann.py LSH blocking instead.
+
+    The cosine is computed in double and rounded to 6 places *before*
+    the threshold test (same policy as operators/ann.py) so the kept
+    set is stable across engines/architectures.
     """
-    if embed_udf is None:
+    if embed_udf is not None:
+        q = questions.withColumn("q_vec", embed_udf(F.col("q_text")))
+        a = answers.withColumn("a_vec", embed_udf(F.col("a_text")))
+    elif "q_vec" in questions.columns and "a_vec" in answers.columns:
+        q = questions.withColumn("q_vec",
+                                 F.col("q_vec").cast("array<double>"))
+        a = answers.withColumn("a_vec",
+                               F.col("a_vec").cast("array<double>"))
+    else:
         raise NotImplementedError(
             "no embedder in this container; inject embed_udf "
-            "(text -> array<float>)")
-    q = questions.withColumn("q_vec", embed_udf(F.col("q_text")))
-    a = answers.withColumn("a_vec", embed_udf(F.col("a_text")))
+            "(text -> array<float>) or provide precomputed q_vec/a_vec "
+            "columns")
 
     dot = F.aggregate(
         F.zip_with("q_vec", "a_vec", lambda x, y: x * y),
         F.lit(0.0), lambda acc, v: acc + v)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         c, F.lit(0.0), lambda acc, v: acc + v * v))
-    delta = (F.col("a_tstamp").cast("double")
-             - F.col("q_tstamp").cast("double"))
+    # exact integer micros (NTZ-safe, no double rounding at the
+    # window boundary) — same arithmetic as the J2 mention join
+    delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
+             - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz")))
 
     joined = (
         a.join(q, (F.col("a_segment") == F.col("q_segment")), "inner")
-        .where((delta <= time_window_minutes * 60) & (delta >= 0))
-        .withColumn("sim", dot / (norm(F.col("q_vec")) * norm(F.col("a_vec"))))
+        .where((delta <= time_window_minutes * 60 * 1_000_000)
+               & (delta >= 0))
+        .withColumn("sim", F.round(
+            dot / (norm(F.col("q_vec")) * norm(F.col("a_vec"))), 6))
         .where(F.col("sim") > threshold)
     )
     return _links(joined, "semantic", F.col("sim"),

@@ -152,8 +152,11 @@ def attribute_triples(outputs: DataFrame, messages: DataFrame,
     column names."""
     from pyspark.sql import Window, functions as F
 
+    # nulls LAST: a quarantined message (null normalized timestamp)
+    # must never win rank 1 and stamp a null timestamp onto the
+    # triple — the reference never carries null timestamps.
     w = Window.partitionBy(batch_col, "author") \
-              .orderBy("timestamp", "message_id")
+              .orderBy(F.col("timestamp").asc_nulls_last(), "message_id")
     first = (messages
              .withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") == 1)

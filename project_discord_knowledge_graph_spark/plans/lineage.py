@@ -183,14 +183,20 @@ def run_resumable(spark: SparkSession, pages_path: str, out_path: str,
 
     t0 = time.perf_counter()
     lin = spark.read.parquet(lineage_path)
+    # latest row per bucket (max_by created_at), not max(triples_out):
+    # a re-run bucket that legitimately shrank must report the fresh
+    # count, not the stale larger one.
     rows_in = (lin.where((F.col("stage") == "messages")
                          & (F.col("status") == "completed"))
-               .groupBy("bucket").agg(F.max("triples_out").alias("n"))
+               .groupBy("bucket")
+               .agg(F.max_by("triples_out", "created_at").alias("n"))
                .agg(F.sum("n")).first()[0])
     msgs = spark.read.parquet(msg_path)
     triples = aggregate_triples(extract_triples(msgs), link_qa(msgs))
+    # count via observe on the write itself — no post-write re-read job
+    triples, obs = observe_counts(triples, f"agg_rows_{run_id}")
     triples.write.mode("overwrite").parquet(triples_path)
-    n_triples = spark.read.parquet(triples_path).count()
+    n_triples = int(obs.get["rows"])
     _append_lineage(spark, lineage_path, {
         "run_id": run_id, "stage": "aggregate", "bucket": -1,
         "rows_in": int(rows_in or 0), "triples_out": n_triples,
