@@ -1493,6 +1493,83 @@ SELECT CAST(eid AS VARCHAR) AS message_id,
 FROM base"""
 
 
+def q_repair_flatten(spark, sf_dir):
+    """S1 repair door: malformed export documents (bare-string /
+    number / bool roles+mentions, junk attachments/reactions —
+    preprocessor.py:54-65 tolerant branches) synthesized per event
+    row as raw JSON text, pushed through the PRODUCTION repair path
+    (repair_exports: mapInPandas json repair -> strict-schema
+    from_json) and the production flatten; DuckDB computes the
+    expected post-repair fields directly from the event columns."""
+    from .sources.discord_export import export_to_messages, repair_exports
+    ev = _t(spark, sf_dir, "events")
+    tsl = F.col("ts").cast("timestamp_ltz")
+    micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
+    raw_ts = F.concat(F.date_format(tsl, "yyyy-MM-dd'T'HH:mm:ss"),
+                      F.lit("."), F.lpad(micros.cast("string"), 6, "0"),
+                      F.lit("Z"))
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    roles = (F.when(uid % 3 == 0,
+                    F.lit('["admin",{"id":"r1","name":"mod"}]'))
+              .when(uid % 3 == 1, F.lit('[7,true]'))
+              .otherwise(F.lit("[]")))
+    mentions = F.when(eid % 4 == 0, F.lit('["bob",{"id":"u9"}]')) \
+                .otherwise(F.lit("[]"))
+    attachments = F.when(eid % 6 == 0, F.format_string(
+        '["junk",{"fileName":"f%s.png","url":"http://x/%s",'
+        '"fileSizeBytes":%s}]', s(eid), s(eid), s(eid % 1000))) \
+        .otherwise(F.lit("[]"))
+    reactions = F.when(eid % 3 == 0, F.format_string(
+        '[{"emoji":{"name":"+1"},"count":%s},"bad"]', s(eid % 5))) \
+        .otherwise(F.lit("[]"))
+    doc = F.format_string(
+        '{"channel":{"id":"c1","name":"chan"},"messages":[{"id":"%s",'
+        '"timestamp":"%s","content":"msg %s","author":{"id":"a%s",'
+        '"name":"u%s","roles":%s},"mentions":%s,"attachments":%s,'
+        '"reactions":%s}]}',
+        s(eid), raw_ts, s(eid), s(uid % 7), s(uid % 7),
+        roles, mentions, attachments, reactions)
+    msgs = export_to_messages(repair_exports(ev.select(
+        doc.alias("value"))))
+    return msgs.select(
+        "message_id", "author", "segment_id",
+        F.col("timestamp").alias("norm_ts"),
+        F.concat_ws(",", "author_roles").alias("roles_csv"),
+        F.concat_ws(",", "mentions").alias("mentions_csv"),
+        F.size("attachments").alias("n_attachments"),
+        F.aggregate("attachments", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x["size"]).alias("attach_bytes"),
+        F.aggregate("reactions", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x["count"]).alias("total_reactions"))
+
+
+SQL_REPAIR_FLATTEN = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         'u' || CAST(user_id % 7 AS VARCHAR) AS author
+  FROM events)
+SELECT CAST(eid AS VARCHAR) AS message_id,
+       author,
+       'segment-' || substr(md5('unknown-' || author || '-'
+            || strftime(ts, '%Y%m%d-%H')), 1, 8) AS segment_id,
+       CASE WHEN epoch_us(ts) % 1000000 = 0
+            THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00'
+            ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00'
+       END AS norm_ts,
+       CASE CAST(uid % 3 AS INTEGER) WHEN 0 THEN 'admin,mod'
+            WHEN 1 THEN '7,True' ELSE '' END AS roles_csv,
+       CASE WHEN eid % 4 = 0 THEN 'bob,u9' ELSE '' END AS mentions_csv,
+       CAST(CASE WHEN eid % 6 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_attachments,
+       CAST(CASE WHEN eid % 6 = 0 THEN eid % 1000 ELSE 0 END AS BIGINT)
+         AS attach_bytes,
+       CAST(CASE WHEN eid % 3 = 0 THEN eid % 5 ELSE 0 END AS BIGINT)
+         AS total_reactions
+FROM base"""
+
+
 def q_msg_flag_stats(spark, sf_dir):
     """A4 extension (preprocessor.py:298-312): bot/pinned/attachment/
     reaction rollups over the flattened export corpus — the counts the
@@ -1825,6 +1902,58 @@ SELECT CAST(hour(timestamp) AS INTEGER) AS hour,
 FROM lcalls GROUP BY 1"""
 
 
+def q_llm_daily_cost(spark, sf_dir):
+    """Daily cost trend (llm_evaluation_app.py:524)."""
+    from .plans.llm_metrics import daily_cost
+    return daily_cost(llm_calls_df(spark, sf_dir))
+
+
+SQL_LLM_DAILY_COST = f"""
+WITH {SQL_LLM_CALLS_CTE}
+SELECT CAST(timestamp AS DATE) AS date,
+       count(*) AS calls,
+       round(sum(cost_usd), 4) AS cost_usd
+FROM lcalls GROUP BY 1"""
+
+
+def q_extractions_per_day(spark, sf_dir):
+    """Extractions-over-time daily rollup (extraction/app.py:836-855)
+    over the engine's own link triples; the timestamp column is
+    rewritten to exercise all three reference branches — the ISO+Z
+    shape (app.py's .replace('Z', '+00:00')), the plain form, and an
+    unparseable string the rollup must skip."""
+    from .operators.link import link_by_mentions, link_by_replies
+    from .plans.analytics import extractions_per_day
+    questions, answers = split_qa(events_messages(spark, sf_dir))
+    links = link_by_replies(questions, answers).unionByName(
+        link_by_mentions(questions, answers))
+    oid = F.col("object").cast("long")
+    ts = (F.when(oid % 13 == 0, F.lit("garbage"))
+           .when(oid % 7 == 0, F.concat(
+               F.date_format(F.to_timestamp("timestamp"),
+                             "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")))
+           .otherwise(F.col("timestamp")))
+    return extractions_per_day(links.withColumn("timestamp", ts))
+
+
+SQL_EXTRACTIONS_PER_DAY = f"""
+WITH {EVENTS_MSGS_SQL},
+links AS (
+  SELECT a.message_id AS object, a.ts AS ats
+  FROM emsgs a JOIN emsgs q
+    ON a.reply_to = q.message_id AND a.segment_id = q.segment_id
+  WHERE a.type = 'answer' AND q.type = 'question'
+  UNION ALL
+  SELECT a.message_id, a.ts
+  FROM emsgs a JOIN emsgs q
+    ON lower(a.mention) = q.author AND a.segment_id = q.segment_id
+    AND epoch_us(a.ts) - epoch_us(q.ts) <= 600 * 1000000
+  WHERE a.type = 'answer' AND q.type = 'question'
+    AND a.mention IS NOT NULL)
+SELECT CAST(ats AS DATE) AS date, count(*) AS extractions
+FROM links WHERE CAST(object AS BIGINT) % 13 <> 0 GROUP BY 1"""
+
+
 def q_llm_efficiency_stats(spark, sf_dir):
     from .plans.llm_metrics import efficiency_stats
     return efficiency_stats(llm_calls_df(spark, sf_dir))
@@ -1892,6 +2021,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "scalar_ts_normalize": (q_ts_normalize, SQL_TS_NORMALIZE),
     "kg_prune_candidates": (q_prune_candidates, SQL_PRUNE_CANDIDATES),
     "discord_flatten": (q_discord_flatten, SQL_DISCORD_FLATTEN),
+    "discord_repair_flatten": (q_repair_flatten, SQL_REPAIR_FLATTEN),
     "agg_msg_flag_stats": (q_msg_flag_stats, SQL_MSG_FLAG_STATS),
     "agg_confidence_varied": (q_confidence_varied, SQL_CONFIDENCE_VARIED),
     "ann_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
@@ -1904,5 +2034,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
                              SQL_LLM_EFFICIENCY_STATS),
     "llm_hourly_activity": (q_llm_hourly_activity,
                             SQL_LLM_HOURLY_ACTIVITY),
+    "llm_daily_cost": (q_llm_daily_cost, SQL_LLM_DAILY_COST),
+    "kg_extractions_per_day": (q_extractions_per_day,
+                               SQL_EXTRACTIONS_PER_DAY),
     "kg_attribute_outputs": (q_attribute_outputs, SQL_ATTRIBUTE_OUTPUTS),
 }

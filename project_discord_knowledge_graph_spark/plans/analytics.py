@@ -50,6 +50,18 @@ def hourly_timeline(triples: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n")))
 
 
+def extractions_per_day(triples: DataFrame) -> DataFrame:
+    """Extractions-over-time daily rollup (extraction/app.py:836-855):
+    the triple's ISO timestamp string -> date bucket -> count;
+    unparseable/missing timestamps are skipped exactly as the
+    reference's try/except-continue."""
+    d = F.to_date(F.try_to_timestamp(
+        F.regexp_replace("timestamp", "Z$", "+00:00")))
+    return (triples.withColumn("date", d)
+            .where(F.col("date").isNotNull())
+            .groupBy("date").agg(F.count("*").alias("extractions")))
+
+
 def segment_spread(triples: DataFrame) -> DataFrame:
     return (triples.groupBy("segment_id")
             .agg(F.count("*").alias("n_triples"),
@@ -106,6 +118,7 @@ ALL_VIEWS = {
     "confidence_by_predicate": confidence_by_predicate,
     "top_subjects": top_subjects,
     "hourly_timeline": hourly_timeline,
+    "extractions_per_day": extractions_per_day,
     "segment_spread": segment_spread,
 }
 

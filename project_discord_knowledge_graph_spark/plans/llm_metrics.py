@@ -138,6 +138,15 @@ def hourly_activity(calls: DataFrame) -> DataFrame:
                  F.round(F.sum("cost_usd"), 4).alias("cost_usd")))
 
 
+def daily_cost(calls: DataFrame) -> DataFrame:
+    """Daily cost trend (llm_evaluation_app.py:524:
+    df.groupby('date')['cost_usd'].sum()); adds the call count the
+    dashboard plots alongside."""
+    return (calls.groupBy(F.to_date("timestamp").alias("date"))
+            .agg(F.count("*").alias("calls"),
+                 F.round(F.sum("cost_usd"), 4).alias("cost_usd")))
+
+
 def efficiency_stats(calls: DataFrame) -> DataFrame:
     """Cost-efficiency by (provider, template_type)
     (llm_evaluation_app.py:604-612); cost_per_triple averages over

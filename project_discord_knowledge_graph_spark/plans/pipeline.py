@@ -74,17 +74,24 @@ def build_triples_from_path(spark: SparkSession, path: str,
 
 def build_triples_from_export(spark: SparkSession, path: str,
                               include_semantic: bool = False,
-                              embed_udf=None) -> DataFrame:
+                              embed_udf=None,
+                              repair: bool = False) -> DataFrame:
     """The reference's actual front door: Discord channel-export JSON
     -> flatten (S1/P1/P2) -> classify (C1) -> extract (E1-E8) -> Q&A
     link (J1/J2) -> dedup + validate (A8/P7).  Same downstream DAG as
-    the pages path; only the source stage differs."""
+    the pages path; only the source stage differs.
+
+    `repair=True` routes through the malformed-export repair door
+    (bare-string roles/mentions etc., preprocessor.py:54-65) — one
+    extra Python pass; leave off for well-formed exports."""
     from ..operators.classify import with_type
     from ..sources.discord_export import (
         export_to_messages, read_discord_export,
+        read_discord_export_repaired,
     )
-    messages = with_type(
-        export_to_messages(read_discord_export(spark, path)))
+    reader = (read_discord_export_repaired if repair
+              else read_discord_export)
+    messages = with_type(export_to_messages(reader(spark, path)))
     extracted = extract_triples(messages)
     links = link_qa(messages, include_semantic, embed_udf)
     return aggregate_triples(extracted, links)

@@ -120,6 +120,79 @@ def read_discord_export(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path, multiLine=True, schema=EXPORT_SCHEMA)
 
 
+def repair_export_message(m: dict) -> dict:
+    """Normalize one malformed export message IN the export shape
+    (preprocessor.py:47-96 tolerant branches):
+
+    - bare-string/number roles    -> {"name": str(role)}
+    - bare-string/number mentions -> {"name": str(mention)}
+    - non-dict attachments        -> dropped (reference has no else)
+    - non-dict reactions          -> dropped
+
+    Dict elements pass through untouched, so the downstream columnar
+    flatten (flatten_message_cols) reproduces the reference's .get
+    defaults on them exactly as for well-formed exports."""
+    author = m.get("author")
+    if isinstance(author, dict):
+        roles = author.get("roles")
+        if isinstance(roles, list):
+            author["roles"] = [
+                r if isinstance(r, dict) else {"name": str(r)}
+                for r in roles]
+    mentions = m.get("mentions")
+    if isinstance(mentions, list):
+        m["mentions"] = [x if isinstance(x, dict) else {"name": str(x)}
+                         for x in mentions]
+    for key in ("attachments", "reactions"):
+        arr = m.get(key)
+        if isinstance(arr, list):
+            m[key] = [x for x in arr if isinstance(x, dict)]
+    return m
+
+
+def repair_exports(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Malformed-export repair pass: JSON document strings -> parsed
+    export rows (EXPORT_SCHEMA).
+
+    One Arrow-batched mapInPandas hop doing json.loads + the
+    repair_export_message normalization + json.dumps, then a native
+    from_json with the strict columnar schema.  This keeps the
+    malformed-variant tolerance OUT of every well-formed scan (the
+    fixed schema stays strict; see the schema note above) — only
+    files routed through this repair door pay the Python pass.
+    Unparseable documents yield no rows (PERMISSIVE-equivalent)."""
+    import json
+
+    import pandas as pd
+
+    def fix(batches):
+        for pdf in batches:
+            out = []
+            for s in pdf[value_col]:
+                try:
+                    doc = json.loads(s)
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(doc, dict):
+                    for m in doc.get("messages") or []:
+                        if isinstance(m, dict):
+                            repair_export_message(m)
+                    out.append(json.dumps(doc))
+            yield pd.DataFrame({"value": out})
+
+    return (raw.mapInPandas(fix, "value string")
+            .select(F.from_json("value", EXPORT_SCHEMA).alias("e"))
+            .select("e.*"))
+
+
+def read_discord_export_repaired(spark: SparkSession,
+                                 path: str) -> DataFrame:
+    """The repair front door: whole-file read (one export document per
+    file, matching read_discord_export's multiLine unit) -> repair ->
+    strict-schema parse.  Feed the result to export_to_messages."""
+    return repair_exports(spark.read.text(path, wholetext=True))
+
+
 def _empty(arr_type: str) -> Column:
     return F.array().cast(arr_type)
 

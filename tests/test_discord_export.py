@@ -179,6 +179,78 @@ def test_export_feeds_full_pipeline(spark, tmp_path_factory):
     assert triples.count() >= 3
 
 
+MALFORMED_EXPORT = {
+    "channel": {"id": "c2", "name": "mixed-bag"},
+    "messages": [
+        {   # bare-string / number / bool roles+mentions, junk in
+            # attachments/reactions (preprocessor.py:54-57, 64-65,
+            # 68-75, 78-84 tolerant branches)
+            "id": "x1",
+            "timestamp": "2024-01-02T03:04:05Z",
+            "content": "mixed shapes",
+            "author": {"id": "a1", "name": "Alice",
+                       "roles": ["admin", 7, True,
+                                 {"id": "r1", "name": "mod"},
+                                 {"id": "r2"}]},
+            "mentions": ["bob", 42, {"id": "u9"},
+                         {"id": "u10", "name": "Carol"}],
+            "attachments": ["junk", {"fileName": "f.png",
+                                     "url": "http://x/9",
+                                     "fileSizeBytes": 5}, 3],
+            "reactions": [{"emoji": {"name": "+1"}, "count": 2}, "bad"],
+        },
+        {   # well-formed message must pass the repair door unchanged
+            "id": "x2",
+            "timestamp": "2024-01-02T03:10:00Z",
+            "content": "normal one",
+            "author": {"id": "a2", "name": "Bob", "isBot": True,
+                       "roles": [{"id": "r3", "name": "member"}]},
+            "reference": {"messageId": "x1"},
+        },
+        {   # whitespace-only content still dropped after repair
+            "id": "x3",
+            "timestamp": "2024-01-02T03:11:00Z",
+            "content": " \t ",
+            "author": {"id": "a3", "name": "Eve"},
+        },
+    ],
+}
+
+
+def test_repaired_export_matches_reference_port(spark, tmp_path_factory):
+    from project_discord_knowledge_graph_spark.sources.discord_export \
+        import read_discord_export_repaired
+    p = tmp_path_factory.mktemp("malformed") / "chan.json"
+    p.write_text(json.dumps(MALFORMED_EXPORT))
+    got = {r.message_id: r for r in export_to_messages(
+        read_discord_export_repaired(spark, str(p))).collect()}
+    want = {r["message_id"]: r
+            for r in RP.process_export(MALFORMED_EXPORT)}
+    assert set(got) == set(want) == {"x1", "x2"}
+    for mid, row in got.items():
+        for f in FIELDS:
+            assert _normalize(row[f]) == want[mid][f], (mid, f)
+    # spot-check the repaired shapes explicitly
+    x1 = got["x1"]
+    assert x1.author_roles == ["admin", "7", "True", "mod", ""]
+    assert x1.mentions == ["bob", "42", "u9", "Carol"]
+    assert [a.asDict() for a in x1.attachments] == [
+        {"filename": "f.png", "url": "http://x/9", "size": 5}]
+    assert [r.asDict() for r in x1.reactions] == [
+        {"emoji": "+1", "count": 2}]
+
+
+def test_repair_drops_unparseable_documents(spark, tmp_path_factory):
+    from project_discord_knowledge_graph_spark.sources.discord_export \
+        import read_discord_export_repaired
+    d = tmp_path_factory.mktemp("broken")
+    (d / "good.json").write_text(json.dumps(MALFORMED_EXPORT))
+    (d / "bad.json").write_text("{not json at all")
+    msgs = export_to_messages(
+        read_discord_export_repaired(spark, str(d)))
+    assert {r.message_id for r in msgs.collect()} == {"x1", "x2"}
+
+
 def test_message_flag_stats(spark, flattened):
     df = spark.createDataFrame(flattened)
     row = message_flag_stats(df).first()
