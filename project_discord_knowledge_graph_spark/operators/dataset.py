@@ -60,20 +60,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle: int = 8) -> DataFrame:
+    """(id, distinct k-char shingles) — the shared input of LSH
+    blocking AND exact-Jaccard verification; compute it once per
+    corpus scan and feed both (see near_dedup)."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
+         .alias("shingles")).where(F.size("shingles") > 0)
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       jaccard_distance: float = 0.3,
                       num_hash_tables: int = 6,
-                      shingle: int = 8) -> DataFrame:
+                      shingle: int = 8,
+                      grams: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH band bucketing
     (shingle -> minhash -> band -> bucket-join).  Returns
-    (id_a, id_b, lsh_distance) with id_a < id_b."""
+    (id_a, id_b, lsh_distance) with id_a < id_b.
+
+    `grams` optionally supplies a precomputed shingle_sets frame
+    (columns id, shingles) so a caller staging it can avoid a second
+    scan of the text column."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    grams = df.select(
-        F.col(id_col),
-        F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
-         .alias("shingles")).where(F.size("shingles") > 0)
+    if grams is None:
+        grams = shingle_sets(df, text_col, id_col, shingle)
     tf = HashingTF(inputCol="shingles", outputCol="features",
                    numFeatures=1 << 18, binary=True)
     feat = tf.transform(grams)
@@ -129,23 +143,37 @@ def near_dedup(df: DataFrame, text_col: str = "text",
     buckets — never all-pairs — and the CC pass runs on the (sparse)
     verified-pair edge list, which for near-dup clusters is shallow
     (2-4 rounds).
+
+    The shingle sets are computed ONCE (shingle_sets) and persisted:
+    LSH blocking and the exact-Jaccard verify both read the staged
+    frame, so the corpus text is scanned and shingled a single time
+    instead of once per stage.  The verified pair list (tiny: only
+    surviving candidates) is materialized eagerly via localCheckpoint
+    — one action computing the whole block+verify DAG with the grams
+    cache hot — and the cache is released immediately after, so the
+    composite leaves nothing persisted behind.  (CC is already eager:
+    its convergence loop runs actions.)  On a real cluster prefer
+    reliable checkpoints for the CC stage; the verified list here is
+    small enough that recompute-on-executor-loss is a non-issue.
     """
     from .components import connected_components
 
+    grams = shingle_sets(df, text_col, id_col, shingle).persist()
     pairs = minhash_lsh_pairs(df, text_col, id_col, jaccard_distance,
-                              num_hash_tables, shingle)
-    # exact verify: recompute true shingle jaccard on candidates only
-    grams = df.select(
-        F.col(id_col),
-        F.expr(f"array_distinct({_shingles_expr(text_col, shingle)})")
-         .alias("g"))
-    a = grams.select(F.col(id_col).alias("id_a"), F.col("g").alias("ga"))
-    b = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("gb"))
+                              num_hash_tables, shingle, grams=grams)
+    # exact verify: true shingle jaccard on candidates only, reading
+    # the SAME staged shingle frame as the blocking stage
+    a = grams.select(F.col(id_col).alias("id_a"),
+                     F.col("shingles").alias("ga"))
+    b = grams.select(F.col(id_col).alias("id_b"),
+                     F.col("shingles").alias("gb"))
     verified = (pairs.join(a, "id_a").join(b, "id_b")
                 .where(F.size(F.array_intersect("ga", "gb"))
                        / F.size(F.array_union("ga", "gb"))
                        >= min_exact_jaccard)
-                .select("id_a", "id_b"))
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True))
+    grams.unpersist(blocking=False)
     comp = connected_components(verified, src="id_a", dst="id_b")
     return (df.select(F.col(id_col))
             .join(comp.withColumnRenamed("node", id_col), id_col, "left")

@@ -44,19 +44,73 @@ FEATURES_SCHEMA = StructType([
 
 
 def media_repartition(df: DataFrame, target_bytes: int = 64 << 20,
-                      payload_col: str = "payload") -> DataFrame:
+                      payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
     """Partition media rows by payload volume, not row count.
 
-    Estimates total bytes from a cheap aggregate and repartitions so
-    each partition carries ~target_bytes of payload — the knob that
-    keeps Arrow batches and executor memory bounded when row sizes
-    vary by 1000x (a thumbnail vs a video segment).
+    Rows are keyed by (size_class, slot): size_class = floor(log2
+    (payload bytes)) and each class spreads over ceil(class_bytes /
+    target_bytes) slots, computed from one cheap per-class aggregate.
+    Slot assignment is two-mode, bounding the worst case — not just
+    the mean:
+
+    - row-HEAVY classes (many rows per slot): hash slotting; equal-ish
+      row sizes within a class (2x spread) + law of large numbers give
+      tight per-slot concentration.
+    - row-LIGHT classes (the huge-payload rows — few by definition):
+      EXACT round-robin via row_number over a pruned (id, class)
+      projection, broadcast-joined back, so k rows over s slots load
+      each slot with at most ceil(k/s) rows ~ target + one max row.
+      The window never moves payload bytes, and the projection is
+      small precisely because these classes are row-light.
+
+    Final placement is repartitionByRange on the key, so distinct
+    slots map to distinct partitions (hash placement could stack two
+    slots).  The HARD per-decoder-call byte bound is additionally
+    enforced downstream by decode_media's batch slicer.
     """
-    total = df.select(
-        F.sum(F.coalesce(F.length(F.col(payload_col)), F.lit(0)))
-    ).first()[0] or 0
-    n = max(1, int(total / target_bytes) + 1)
-    return df.repartition(n)
+    from pyspark.sql import Window
+
+    nbytes = F.coalesce(F.length(F.col(payload_col)), F.lit(0))
+    cls = F.floor(F.log2(F.greatest(nbytes, F.lit(1)).cast("double")))
+    per_class = (df.groupBy(cls.alias("_cls"))
+                 .agg(F.sum(nbytes).alias("b"),
+                      F.count("*").alias("n")).collect())
+    slots = {int(r._cls): max(1, int(r.b / target_bytes) + 1)
+             for r in per_class}
+    if not slots:
+        return df.repartition(1)
+    n_total = sum(slots.values())
+    slot_count = F.element_at(
+        F.create_map(*[F.lit(x) for kv in slots.items() for x in kv]),
+        cls.cast("int"))
+    light = [int(r._cls) for r in per_class
+             if r.n < 32 * slots[int(r._cls)]]
+
+    out_cols = df.columns
+    keyed = df.withColumn("_cls", cls.cast("int"))
+    if light:
+        proj = (keyed.where(F.col("_cls").isin(light))
+                .select(F.col(id_col).alias("_mid"), "_cls"))
+        w = Window.partitionBy("_cls").orderBy(F.xxhash64("_mid"))
+        n_slots_of = F.element_at(
+            F.create_map(*[F.lit(x) for kv in slots.items()
+                           for x in kv]), F.col("_cls"))
+        assign = proj.select(
+            "_mid",
+            F.pmod(F.row_number().over(w) - 1, n_slots_of)
+             .alias("_aslot"))
+        keyed = keyed.join(F.broadcast(assign),
+                           keyed[id_col] == assign["_mid"], "left") \
+                     .drop("_mid")
+    else:
+        keyed = keyed.withColumn("_aslot", F.lit(None).cast("long"))
+    slot = F.coalesce(
+        F.col("_aslot"),
+        F.pmod(F.xxhash64(F.col(id_col)), slot_count))
+    return (keyed.withColumn("_slot", slot)
+            .repartitionByRange(n_total, "_cls", "_slot")
+            .select(*out_cols))
 
 
 def default_stub_decoder(batch: pd.DataFrame) -> pd.DataFrame:
@@ -74,14 +128,38 @@ def default_stub_decoder(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def slice_batch_by_bytes(batch: pd.DataFrame, max_bytes: int,
+                         payload_col: str = "payload"
+                         ) -> Iterator[pd.DataFrame]:
+    """Split one pandas batch into sub-batches whose payload byte sums
+    stay <= max_bytes (a single oversized row goes alone) — the HARD
+    worst-case bound on decoder peak memory, independent of how rows
+    happened to land in partitions/Arrow batches upstream."""
+    sizes = batch[payload_col].map(
+        lambda b: len(b) if b is not None else 0)
+    start, acc = 0, 0
+    for i, sz in enumerate(sizes):
+        if i > start and acc + sz > max_bytes:
+            yield batch.iloc[start:i]
+            start, acc = i, 0
+        acc += sz
+    if start < len(batch):
+        yield batch.iloc[start:]
+
+
 def decode_media(df: DataFrame,
                  decoder: Callable[[pd.DataFrame], pd.DataFrame] | None
                  = None,
-                 require_real_codec: bool = False) -> DataFrame:
+                 require_real_codec: bool = False,
+                 max_batch_bytes: int = 64 << 20) -> DataFrame:
     """media table -> per-media feature rows via mapInPandas.
 
     `decoder` maps a pandas batch (media_id, payload columns) to a
-    FEATURES_SCHEMA-shaped frame.  With require_real_codec=True and
+    FEATURES_SCHEMA-shaped frame.  Each incoming Arrow batch is
+    re-sliced by cumulative payload bytes (slice_batch_by_bytes), so
+    no decoder call ever sees more than max_batch_bytes of payload —
+    Spark's arrow.maxRecordsPerBatch caps ROWS, which is meaningless
+    when row sizes vary 1000x.  With require_real_codec=True and
     no decoder injected this raises NotImplementedError — the
     clearly-marked stub boundary (no codec libraries here).
     """
@@ -94,7 +172,8 @@ def decode_media(df: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield decoder(b)
+            for sub in slice_batch_by_bytes(b, max_batch_bytes):
+                yield decoder(sub)
 
     return (df.select("media_id", "payload")
             .mapInPandas(run, FEATURES_SCHEMA))

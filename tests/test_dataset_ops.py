@@ -216,10 +216,9 @@ def test_near_dedup_composition(spark):
         rows.append((2 * d, " ".join(base)))
         rows.append((2 * d + 1, " ".join(pert)))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    out = {r.doc_id: (r.keep_id, r.is_dup)
-           for r in near_dedup(docs, jaccard_distance=0.4,
-                               min_exact_jaccard=0.7,
-                               shingle=6).collect()}
+    out_df = near_dedup(docs, jaccard_distance=0.4,
+                        min_exact_jaccard=0.7, shingle=6)
+    out = {r.doc_id: (r.keep_id, r.is_dup) for r in out_df.collect()}
     assert len(out) == 30
     collapsed = 0
     for d in range(15):
@@ -229,6 +228,34 @@ def test_near_dedup_composition(spark):
             assert keep == 2 * d
             collapsed += 1
     assert collapsed >= 13  # LSH recall >= ~0.9 on near-identical docs
+
+    # single text scan: the composite stages the shingle sets, so the
+    # RETURNED plan carries no shingle computation at all (it happened
+    # once, upstream, before the eager pair checkpoint)...
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("transform(sequence") == 0, plan
+
+
+def test_near_dedup_single_shingle_scan(spark):
+    """...and in the block+verify DAG itself, every consumer of the
+    staged shingle frame reads the cache (InMemoryTableScan), so the
+    text column is shingled exactly once at runtime."""
+    from project_discord_knowledge_graph_spark.operators.dataset import (
+        minhash_lsh_pairs, shingle_sets,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} " * 4) for i in range(10)],
+        ["doc_id", "text"])
+    grams = shingle_sets(docs, shingle=6).persist()
+    try:
+        pairs = minhash_lsh_pairs(docs, shingle=6, grams=grams)
+        a = grams.select(F.col("doc_id").alias("id_a"),
+                         F.col("shingles").alias("ga"))
+        verify = pairs.join(a, "id_a")
+        plan = verify._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        grams.unpersist()
 
 
 def test_embedding_near_dup(spark, vectors):
@@ -269,6 +296,63 @@ def test_media_repartition_by_bytes(spark, media):
     out = media_repartition(media, target_bytes=300)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 6
+
+
+def test_media_repartition_bounds_skewed_sizes(spark):
+    """Pathological mix: many thumbnails + a few huge videos.  Size-
+    class slotting must keep the max partition's payload near target
+    (round-robin row balancing could stack several videos together)."""
+    rows = ([(f"t{i}", "image", b"x" * 100, "image/png", 1, 1, None)
+             for i in range(200)] +
+            [(f"v{i}", "video", bytes([i]) * 50_000, "video/mp4",
+              None, None, 1000) for i in range(8)])
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(1)
+    target = 60_000
+    out = media_repartition(media, target_bytes=target)
+    per_part = out.select(
+        F.spark_partition_id().alias("p"),
+        F.length("payload").alias("b")).groupBy("p").sum("b").collect()
+    max_bytes = max(r["sum(b)"] for r in per_part)
+    # worst case bounded by ~target + one max row (50k), not unbounded
+    assert max_bytes <= target + 50_000, per_part
+    assert out.count() == 208
+
+
+def test_decode_media_batch_byte_cap(spark):
+    """No decoder call may see more than max_batch_bytes of payload,
+    however rows landed in partitions."""
+    from project_discord_knowledge_graph_spark.operators.multimodal \
+        import slice_batch_by_bytes
+    import pandas as pd
+    batch = pd.DataFrame({
+        "media_id": [f"m{i}" for i in range(7)],
+        "payload": [b"a" * n for n in
+                    (100, 100, 900, 5000, 10, 10, 10)]})
+    subs = list(slice_batch_by_bytes(batch, max_bytes=1000))
+    assert [list(s.media_id) for s in subs] == [
+        ["m0", "m1"], ["m2"], ["m3"], ["m4", "m5", "m6"]]
+    # oversized single row (5000 > 1000) still flows through, alone
+    sizes = [s.payload.map(len).sum() for s in subs]
+    assert sizes == [200, 900, 5000, 30]
+
+    rows = [(f"m{i}", "image", b"z" * 700, "image/png", 1, 1, None)
+            for i in range(20)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(1)
+
+    def reporting_decoder(b):
+        # decoder runs in the executor worker: smuggle the batch's
+        # payload byte sum out through the feature column
+        total = int(b.payload.map(len).sum())
+        return pd.DataFrame({
+            "media_id": b.media_id,
+            "n_bytes": b.payload.map(len).astype("int64"),
+            "feature": [str(total)] * len(b)})
+
+    out = decode_media(media, decoder=reporting_decoder,
+                       max_batch_bytes=2000).collect()
+    assert len(out) == 20
+    batch_sums = {int(r.feature) for r in out}
+    assert max(batch_sums) <= 2000, batch_sums
 
 
 def test_frame_sample_plan(spark, media):
