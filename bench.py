@@ -55,6 +55,48 @@ def ensure_pages(spark, sf_dir: str, n: int | None = None) -> tuple[str, int]:
     return path, n
 
 
+def ensure_exports(n: int, seed: int = 42, per_file: int = 2000) -> str:
+    """Deterministic Discord-channel-export JSON corpus (the
+    reference's actual front-door input): n messages from the same
+    generator as the pages corpus, chunked into export documents of
+    per_file messages each.  Driver-side generation is fine here —
+    this is cached bench scaffolding, not an engine path."""
+    path = f"{PAGES_CACHE}/exports_{n}"
+    marker = f"{path}/_DONE"
+    if os.path.exists(marker):
+        return path
+    from project_discord_knowledge_graph_spark.sources.synth import (
+        gen_messages,
+    )
+    os.makedirs(path, exist_ok=True)
+    msgs = gen_messages(n, seed=seed)
+
+    def export_msg(m):
+        em = {"id": m["message_id"],
+              "timestamp": m["timestamp"].isoformat(),
+              "content": m["content"],
+              "author": {"id": m["author"], "name": m["author"]}}
+        if m["mentions"]:
+            em["mentions"] = [{"id": None, "name": x}
+                              for x in m["mentions"]]
+        if m["reply_to"]:
+            em["reference"] = {"messageId": m["reply_to"]}
+        if m["thread"]:
+            em["thread"] = {"name": m["thread"]}
+        return em
+
+    for fi, start in enumerate(range(0, len(msgs), per_file)):
+        chunk = msgs[start:start + per_file]
+        doc = {"guild": {"id": "g1", "name": "bench"},
+               "channel": {"id": f"c{fi}", "name": chunk[0]["channel"]},
+               "messages": [export_msg(m) for m in chunk]}
+        with open(f"{path}/export_{fi:05d}.json", "w") as f:
+            json.dump(doc, f)
+    with open(marker, "w") as f:
+        f.write(str(len(msgs)))
+    return path
+
+
 def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
     from project_discord_knowledge_graph_spark import entry_queries as EQ
     from project_discord_knowledge_graph_spark.plans.pipeline import (
@@ -140,6 +182,20 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
 
     extras["triples"] = timed("kg_pipeline", pipeline_once)
 
+    # the reference's actual entry path: channel-export JSON -> flatten
+    # -> classify -> extract -> link -> dedup (same downstream DAG)
+    from project_discord_knowledge_graph_spark.plans.pipeline import (
+        build_triples_from_export,
+    )
+    n_export = int(os.environ.get("SPARK_GRAFT_BENCH_EXPORT_MSGS",
+                                  "50000"))
+    export_path = ensure_exports(n_export)
+    extras["export_triples"] = timed(
+        "kg_pipeline_export",
+        lambda: build_triples_from_export(
+            spark, f"{export_path}/*.json").count())
+    extras["export_msgs"] = n_export
+
     for name in ("kg_triples_dedup", "kg_link_replies", "kg_link_mentions",
                  "kg_classify_counts", "tpch_q1_pricing", "tpch_q3_topk",
                  "win_session_counts", "agg_hourly_events",
@@ -174,8 +230,43 @@ def single_run(cores: int, sf_dir: str) -> dict:
             "triples": res["triples"],
             "triples_per_sec": round(
                 res["triples"] / res["queries"]["kg_pipeline"], 1),
+            "export_msgs": res.get("export_msgs"),
+            "export_triples": res.get("export_triples"),
+            "export_msgs_per_sec": round(
+                res["export_msgs"] / res["queries"]["kg_pipeline_export"],
+                1) if res.get("export_msgs") else None,
             "queries": res["queries"],
         }
+    finally:
+        spark.stop()
+
+
+def cc_deep_run() -> dict:
+    """O(log^2 n) evidence at scale: connected components over a
+    pathological DEEP graph — a single chain of n nodes (diameter
+    n-1, the worst case that makes plain min-label propagation take
+    n rounds) — recording rounds-to-converge and wall time."""
+    from pyspark.sql import functions as F
+
+    from project_discord_knowledge_graph_spark.operators.components \
+        import connected_components
+    from project_discord_knowledge_graph_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_CC_NODES", "1000000"))
+    spark = get_spark("bench-cc", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        t0 = time.perf_counter()
+        labels, stats = connected_components(edges, return_stats=True)
+        n_comp = labels.select("component").distinct().count()
+        wall = round(time.perf_counter() - t0, 3)
+        assert n_comp == 1 and stats["converged"], (n_comp, stats)
+        return {"metric": "cc_deep_chain", "nodes": n,
+                "rounds": stats["rounds"], "value": wall,
+                "unit": "sec", "components": n_comp}
     finally:
         spark.stop()
 
@@ -280,11 +371,15 @@ def _write_bench_md(r: dict) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cc", action="store_true",
+                    help="deep-graph connected-components rounds bench")
     ap.add_argument("--json-only", action="store_true",
                     help="suppress everything except the final JSON line")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
-    if args.scaling:
+    if args.cc:
+        print(json.dumps(cc_deep_run()))
+    elif args.scaling:
         print(json.dumps(scaling_run(sf_dir)))
     else:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

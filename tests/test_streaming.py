@@ -128,6 +128,74 @@ def test_hourly_window_stream(spark, landing, tmp_path_factory):
     assert 150 <= total <= 200
 
 
+def test_hourly_window_late_data(spark, tmp_path_factory):
+    """Out-of-order landing files against the watermarked hourly
+    window: a late row within the watermark folds into its correct
+    (still-open) bucket — with window STATE carried across runs via
+    the checkpoint — while a row behind an already-closed window is
+    dropped, per watermark semantics."""
+    import datetime as dt
+
+    from project_discord_knowledge_graph_spark.functions.html import (
+        render_page,
+    )
+
+    def page_rows(specs):
+        # specs: list of (msg_id, hour, minute, count)
+        rows = []
+        for mid, h, m, n in specs:
+            for i in range(n):
+                ts = dt.datetime(2024, 1, 5, h, m + i, 0)
+                html = render_page(
+                    message_id=f"{mid}-{i}", author="alice",
+                    channel="chan", thread=None, reply_to=None,
+                    mentions=[], lang="en",
+                    text="alert: fomc meeting starts in 1 hour")
+                rows.append((f"http://x/{mid}-{i}", ts,
+                             html.encode(), None, "en"))
+        return rows
+
+    base = tmp_path_factory.mktemp("late")
+    land = base / "pages"
+    land.mkdir()
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+
+    # file 1: hours 10 (x5), 11 (x3), 14:30 (x2)
+    # -> watermark(2h) = 12:30; windows 10 and 11 close and emit
+    spark.createDataFrame(
+        page_rows([("a", 10, 5, 5), ("b", 11, 5, 3), ("c", 14, 30, 2)]),
+        schema).coalesce(1).write.mode("append").parquet(str(land / "f1"))
+
+    out, ckpt = str(base / "counts"), str(base / "ckpt")
+
+    def drain():
+        q = run_available_now(
+            hourly_type_counts(
+                spark.readStream.schema(schema).parquet(str(land) + "/*"),
+                watermark="2 hours"), out, ckpt)
+        q.awaitTermination(120)
+        return {r.hour_start.hour: r.n
+                for r in spark.read.parquet(out).collect()}
+
+    got1 = drain()
+    assert got1 == {10: 5, 11: 3}  # 14:00 window still open, withheld
+
+    # file 2 lands late: 11:30 is BEHIND the closed hour-11 window
+    # (dropped); 13:10 is late but its window is still open (kept);
+    # 17:00 advances the watermark to 15:00, closing hours 13 and 14
+    spark.createDataFrame(
+        page_rows([("late11", 11, 30, 1), ("late13", 13, 10, 1),
+                   ("adv", 17, 0, 1)]),
+        schema).coalesce(1).write.mode("append").parquet(str(land / "f2"))
+
+    got2 = drain()
+    assert got2[13] == 1          # late row folded into its bucket
+    assert got2[14] == 2          # state carried across runs
+    assert got2[11] == 3          # too-late row dropped, count unchanged
+    assert 17 not in got2         # newest window withheld (append mode)
+
+
 def test_session_window_stream(spark, landing, tmp_path_factory):
     base = tmp_path_factory.mktemp("sess_out")
     out, ckpt = str(base / "sessions"), str(base / "ckpt")
