@@ -363,8 +363,11 @@ def _write_bench_md(r: dict) -> None:
     ]
     for q, s in r["runs"][nb]["queries"].items():
         lines.append(f"| {q} | {s} |")
+    # raw last-run report goes to its own file; BENCH.md is the
+    # curated document (full run history, CC rounds, export numbers)
+    # and must not be clobbered by a single re-run
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.md"), "w") as f:
+                           "BENCH_scaling_last.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
