@@ -464,6 +464,58 @@ WHERE a.type = 'answer' AND q.type = 'question'
   AND a.mention IS NOT NULL"""
 
 
+_ZS_LABELS = ("question", "answer", "alert", "strategy", "signal",
+              "performance", "analysis", "discussion")  # classifier.py:51
+
+
+def q_classify_zero_shot(spark, sf_dir):
+    """C2 zero-shot classifier plumbing (classifier.py:137-173),
+    oracle-gated end to end with a deterministic hash 'model': the
+    injected infer_fn maps text -> (label, score) from md5 hex chars
+    (label set = the reference's 8 candidate labels), so DuckDB can
+    reproduce the exact predictions — gating the Spark-side iterator
+    UDF plumbing, the empty-text ('alert', 0.5) default
+    (classifier.py:126), and the struct unpack into type/confidence.
+    Scores are dyadic rationals (k * 0.25), exact in both engines."""
+    import hashlib
+
+    import pandas as pd
+
+    from .operators.classify import classify_zero_shot
+
+    def infer(texts: pd.Series) -> pd.DataFrame:
+        h = texts.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        return pd.DataFrame({
+            "label": h.map(lambda x: _ZS_LABELS[ord(x[0]) % 8]),
+            "score": h.map(lambda x: (ord(x[1]) % 4) * 0.25)})
+
+    msgs = docs_messages(spark, sf_dir).withColumn(
+        "clean_text",
+        F.when(F.col("doc_id") % 37 == 0, F.lit(""))
+         .otherwise(F.col("clean_text")))
+    out = classify_zero_shot(msgs, infer_fn=infer)
+    return out.select("message_id", "type", "confidence")
+
+
+_ZS_LABEL_CASE = " ".join(
+    f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(_ZS_LABELS))
+
+SQL_CLASSIFY_ZERO_SHOT = f"""
+WITH {docs_msgs_sql()},
+z AS (SELECT message_id,
+             CASE WHEN doc_id % 37 = 0 THEN '' ELSE clean_text END AS t
+      FROM dmsgs)
+SELECT message_id,
+       CASE WHEN t = '' THEN 'alert'
+            ELSE CASE CAST(ascii(substr(md5(t), 1, 1)) % 8 AS INTEGER)
+                 {_ZS_LABEL_CASE} END
+       END AS type,
+       CASE WHEN t = '' THEN CAST(0.5 AS DOUBLE)
+            ELSE CAST(ascii(substr(md5(t), 2, 1)) % 4 AS DOUBLE) * 0.25
+       END AS confidence
+FROM z"""
+
+
 def q_link_semantic(spark, sf_dir):
     """J3 (extractor.py:494-543): drives link_by_similarity ITSELF
     (operators/link.py) over precomputed embeddings — each message
@@ -1977,6 +2029,8 @@ FROM lcalls GROUP BY provider, template_type"""
 
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_classify_counts": (q_classify_counts, SQL_CLASSIFY_COUNTS),
+    "kg_classify_zero_shot": (q_classify_zero_shot,
+                              SQL_CLASSIFY_ZERO_SHOT),
     "kg_extract_question": (q_extract_question, SQL_EXTRACT_QUESTION),
     "kg_extract_answer": (q_extract_answer, SQL_EXTRACT_ANSWER),
     "kg_extract_alert": (q_extract_alert, SQL_EXTRACT_ALERT),

@@ -40,6 +40,10 @@ def main() -> None:
                     help="url-hash resume buckets")
     ap.add_argument("--after-ts", default=None,
                     help="incremental watermark (prunes the scan)")
+    ap.add_argument("--repair", action="store_true",
+                    help="route --export-json through the malformed-"
+                         "export repair pass (bare-string roles/"
+                         "mentions etc.)")
     ap.add_argument("--link-entities", action="store_true",
                     help="also run entity linking + graph materialize")
     ap.add_argument("--synth", type=int, default=0,
@@ -60,7 +64,8 @@ def main() -> None:
         from project_discord_knowledge_graph_spark.plans.pipeline import (
             build_triples_from_export,
         )
-        triples = build_triples_from_export(spark, args.export_json)
+        triples = build_triples_from_export(spark, args.export_json,
+                                            repair=args.repair)
         triples.write.mode("overwrite").parquet(f"{args.out}/triples")
         print(json.dumps({
             "triples_out":
