@@ -197,13 +197,16 @@ def run_queries(spark, sf_dir: str, pages_path: str) -> dict:
     extras["export_msgs"] = n_export
 
     for name in ("kg_triples_dedup", "kg_link_replies", "kg_link_mentions",
-                 "kg_classify_counts", "tpch_q1_pricing", "tpch_q3_topk",
-                 "win_session_counts", "agg_hourly_events",
-                 "dedup_exact", "dedup_minhash_signatures",
-                 "ann_cosine_topk", "text_metrics", "graph_components",
+                 "kg_link_semantic", "kg_classify_counts",
+                 "kg_classify_zero_shot", "tpch_q1_pricing",
+                 "tpch_q3_topk", "win_session_counts",
+                 "agg_hourly_events", "dedup_exact",
+                 "dedup_minhash_signatures", "ann_cosine_topk",
+                 "text_metrics", "graph_components",
                  "cmp_extract_variants", "kg_prune_candidates",
-                 "discord_flatten", "ann_lsh_topk",
-                 "scalar_ts_normalize"):
+                 "discord_flatten", "discord_repair_flatten",
+                 "ann_lsh_topk", "scalar_ts_normalize",
+                 "llm_daily_cost", "kg_extractions_per_day"):
         fn, _sql = EQ.QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -1576,15 +1576,25 @@ def q_repair_flatten(spark, sf_dir):
     reactions = F.when(eid % 3 == 0, F.format_string(
         '[{"emoji":{"name":"+1"},"count":%s},"bad"]', s(eid % 5))) \
         .otherwise(F.lit("[]"))
-    doc = F.format_string(
-        '{"channel":{"id":"c1","name":"chan"},"messages":[{"id":"%s",'
-        '"timestamp":"%s","content":"msg %s","author":{"id":"a%s",'
-        '"name":"u%s","roles":%s},"mentions":%s,"attachments":%s,'
-        '"reactions":%s}]}',
+    msg_json = F.format_string(
+        '{"id":"%s","timestamp":"%s","content":"msg %s","author":'
+        '{"id":"a%s","name":"u%s","roles":%s},"mentions":%s,'
+        '"attachments":%s,"reactions":%s}',
         s(eid), raw_ts, s(eid), s(uid % 7), s(uid % 7),
         roles, mentions, attachments, reactions)
-    msgs = export_to_messages(repair_exports(ev.select(
-        doc.alias("value"))))
+    # ~100 messages per export document — the real export shape (one
+    # doc holds a channel's messages), and 100x fewer json.loads round
+    # trips in the repair pass than one-doc-per-message would cost
+    docs = (ev.select((eid % 100).alias("_doc"), msg_json.alias("_m"))
+            .groupBy("_doc")
+            .agg(F.concat(F.lit('{"channel":{"id":"c1","name":"chan"},'
+                                '"messages":['),
+                          F.concat_ws(",", F.collect_list("_m")),
+                          F.lit("]}")).alias("value"))
+            # AQE coalesces the tiny 100-row shuffle to ~4 partitions;
+            # spread the (heavy) per-doc parse work back out
+            .repartition(64))
+    msgs = export_to_messages(repair_exports(docs))
     return msgs.select(
         "message_id", "author", "segment_id",
         F.col("timestamp").alias("norm_ts"),
