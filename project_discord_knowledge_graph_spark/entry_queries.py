@@ -1007,6 +1007,50 @@ SQL_LSH_BUCKETS = f"""
 SELECT vec_id, {_sql_bucket_expr(8, 64)} AS bucket FROM embeddings"""
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (coarse-quantize to centroid cells,
+    probe nprobe cells, exact re-rank) — assignment, probing, and
+    re-rank are all SQL-expressible, so the oracle checks every
+    stage.  Deterministic centroids = corpus vectors with id <
+    n_cells (production plugs trained k-means centroids)."""
+    from .operators.ann import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=3,
+                    n_cells=16, nprobe=4)
+
+
+SQL_IVF_TOPK = """
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM corp WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id AS neighbor_id, cell, v FROM (
+    SELECT c.vec_id, ce.cell, c.v,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, ce.cv), 6)
+                      DESC, ce.cell) AS rn
+    FROM corp c, cent ce) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell, v FROM (
+    SELECT q.vec_id AS query_id, ce.cell, q.v,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, ce.cv), 6)
+                      DESC, ce.cell) AS rn
+    FROM corp q, cent ce WHERE q.vec_id < 10) WHERE rn <= 4)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.v, a.v), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(p.v, a.v), 6) DESC,
+                    a.neighbor_id) AS rank
+  FROM probes p JOIN asg a ON p.cell = a.cell
+  WHERE p.query_id <> a.neighbor_id)
+WHERE rank <= 3"""
+
+
 def q_lsh_topk(spark, sf_dir):
     """Bucketed approximate top-k (equi-join on the LSH signature +
     exact cosine re-rank) — the whole scale path is SQL-expressible,
@@ -2090,6 +2134,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "agg_confidence_varied": (q_confidence_varied, SQL_CONFIDENCE_VARIED),
     "ann_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "ann_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embed_flatten": (q_embed_flatten, SQL_EMBED_FLATTEN),
     "llm_call_ratios": (q_llm_call_ratios, SQL_LLM_CALL_RATIOS),
     "llm_template_stats": (q_llm_template_stats, SQL_LLM_TEMPLATE_STATS),

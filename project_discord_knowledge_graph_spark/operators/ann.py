@@ -157,6 +157,69 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id", "rank", "sim"))
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization —
+    the other classic ANN scale path next to lsh_topk:
+
+    1. corpus rows assign to their nearest of n_cells centroid cells
+       (one broadcast join against the tiny centroid set + a map-side-
+       combinable max_by per row group — no window over the corpus);
+    2. each query probes its nprobe nearest cells;
+    3. exact cosine re-rank over only the probed cells' members
+       (candidates ~ corpus * nprobe / n_cells, never all-pairs).
+
+    `centroids` defaults to the corpus vectors with id < n_cells — a
+    deterministic stand-in for trained k-means centroids (no MLlib
+    training dependency in the correctness gate; production passes
+    KMeans.fit centroids through the same parameter).  Similarities
+    round to 6 places before every argmax/rank, and ties break toward
+    the smaller cell/neighbor id, so the result is engine-portable.
+    Output: (query_id, neighbor_id, rank, sim)."""
+    cents = centroids if centroids is not None else \
+        corpus.where(F.col(id_col) < n_cells)
+    cents = F.broadcast(cents.select(
+        F.col(id_col).alias("cell"), _as_double(vec_col).alias("cv")))
+
+    sim_c = F.round(cosine_expr(F.col("v"), F.col("cv")), 6)
+    # nearest cell per corpus row: hash agg on the unique row id
+    # (max of (sim, -cell) breaks ties toward the smaller cell id)
+    assigned = (corpus
+                .select(F.col(id_col).alias("neighbor_id"),
+                        _as_double(vec_col).alias("v"))
+                .crossJoin(cents)
+                .groupBy("neighbor_id")
+                .agg(F.max(F.struct(sim_c.alias("s"),
+                                    (-F.col("cell")).alias("nc"),
+                                    F.col("v").alias("v"))).alias("m"))
+                .select("neighbor_id", (-F.col("m.nc")).alias("cell"),
+                        F.col("m.v").alias("c_vec")))
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), "cell")
+    probes = (queries
+              .select(F.col(id_col).alias("query_id"),
+                      _as_double(vec_col).alias("v"))
+              .crossJoin(cents)
+              .select("query_id", "cell", F.col("v").alias("q_vec"),
+                      sim_c.alias("s"))
+              .withColumn("_rn", F.row_number().over(wq))
+              .where(F.col("_rn") <= nprobe)
+              .select("query_id", "cell", "q_vec"))
+
+    scored = (probes.join(assigned, "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", F.round(
+                  cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 8, dim: int = 64,
                              id_col: str = "vec_id",

@@ -162,6 +162,30 @@ def test_lsh_topk_recall_gate(spark, clustered_vectors):
     assert r_multi > r_single
 
 
+def test_ivf_topk_recall_gate(spark, clustered_vectors):
+    """IVF with cluster-center-ish centroids must recover >= 0.9 of
+    the exact top-5 when probing a quarter of the cells; probing more
+    cells must not lose recall."""
+    from project_discord_knowledge_graph_spark.operators.ann import (
+        ivf_topk,
+    )
+    q = clustered_vectors.where(F.col("vec_id") % 25 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, clustered_vectors, k=5).collect()}
+    # centroids = one member per true cluster (vec_id % 25 == 1)
+    cents = clustered_vectors.where(F.col("vec_id") % 25 == 1)
+    few = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(q, clustered_vectors, k=5, n_cells=20,
+                             nprobe=2, centroids=cents).collect()}
+    more = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(q, clustered_vectors, k=5, n_cells=20,
+                              nprobe=6, centroids=cents).collect()}
+    r_few = len(exact & few) / len(exact)
+    r_more = len(exact & more) / len(exact)
+    assert r_few >= 0.9, (r_few, r_more)
+    assert r_more >= r_few
+
+
 def test_minhash_lsh_recall_gate(spark):
     """Banded MinHash-LSH must find >= 0.9 of true near-duplicate
     pairs on a deterministic perturbed-copy corpus."""
