@@ -25,6 +25,7 @@ process everything that has landed, checkpoint, stop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.classify import with_type
@@ -132,6 +133,93 @@ def session_counts(pages_stream: DataFrame, gap: str = "5 minutes",
             .agg(F.count("*").alias("n_messages"))
             .select("author", F.col("sess.start").alias("session_start"),
                     F.col("sess.end").alias("session_end"), "n_messages"))
+
+
+STATEFUL_LINK_SCHEMA = ("subject string, predicate string, "
+                        "object string, message_id string, "
+                        "segment_id string, confidence double")
+_LINK_STATE_SCHEMA = ("q_ids array<string>, q_ts array<string>")
+
+
+def stateful_link_replies(messages: DataFrame,
+                          max_open_hours: float = 24.0) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): CROSS-batch
+    Q->A reply linking.
+
+    The foreachBatch path links only within one micro-batch (the
+    reference's per-export-file behavior); this operator carries the
+    set of OPEN QUESTIONS per segment as stream state, so a question
+    landing in one export file and its reply landing in a later file
+    still link — the incremental semantics a continuously-ingesting
+    deployment needs.
+
+    State is bounded by EVENT time, pruned in user code: a question
+    older than max_open_hours behind the segment's max seen timestamp
+    is dropped from state.  (GroupStateTimeout.ProcessingTimeTimeout
+    is NOT used: in this PySpark build the timeout protocol crashes
+    the Python worker — reproduced with the doc example — and
+    event-time pruning is the semantically right bound anyway:
+    replies arrive within the conversation's own clock, not the
+    cluster's.)
+
+    Input: flattened messages with (segment_id, message_id, type,
+    reply_to, timestamp — normalized ISO string, lexicographically
+    time-ordered).  Output: J1-shaped reply links (confidence 0.95,
+    extractor.py:441-463)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    def link(key, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+        cols = ["subject", "predicate", "object", "message_id",
+                "segment_id", "confidence"]
+        (q_ids, q_ts) = state.get if state.exists else ([], [])
+        open_qs = dict(zip(q_ids, q_ts))
+        out = []
+        max_ts = max(q_ts) if q_ts else ""
+        # the group's batch slice arrives as MULTIPLE Arrow chunks in
+        # arbitrary order — concat before sorting, or an answer chunk
+        # preceding its question's chunk would miss the link
+        chunks = [c for c in pdfs if len(c)]
+        batch = (pd.concat(chunks) if chunks
+                 else pd.DataFrame(columns=["segment_id", "message_id",
+                                            "type", "reply_to",
+                                            "timestamp"]))
+        for r in batch.sort_values(
+                ["timestamp", "message_id"]).itertuples():
+            ts = r.timestamp or ""
+            max_ts = max(max_ts, ts)
+            if r.type == "question":
+                open_qs[r.message_id] = ts
+            elif (r.type == "answer" and r.reply_to
+                  and r.reply_to in open_qs):
+                out.append((r.reply_to, "answered_by",
+                            r.message_id,
+                            f"{r.reply_to}_reply_{r.message_id}",
+                            key[0], 0.95))
+        # event-time prune: normalized ISO strings order
+        # lexicographically, so the cutoff is a string compare
+        cutoff = ""
+        try:
+            cutoff = (dt.datetime.fromisoformat(max_ts)
+                      - dt.timedelta(hours=max_open_hours)).isoformat()
+        except ValueError:
+            pass
+        open_qs = {i: t for i, t in open_qs.items() if t >= cutoff}
+        state.update((list(open_qs.keys()), list(open_qs.values())))
+        yield pd.DataFrame(out, columns=cols)
+
+    return (messages
+            .select("segment_id", "message_id", "type", "reply_to",
+                    "timestamp")
+            .groupBy("segment_id")
+            .applyInPandasWithState(
+                link, STATEFUL_LINK_SCHEMA, _LINK_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))
 
 
 def run_available_now(stream_df: DataFrame, out_path: str,

@@ -128,6 +128,79 @@ def test_hourly_window_stream(spark, landing, tmp_path_factory):
     assert 150 <= total <= 200
 
 
+def test_stateful_cross_batch_link(spark, tmp_path_factory):
+    """applyInPandasWithState custom operator: a question landing in
+    one export file and its reply landing in a LATER file still link
+    (per-batch foreachBatch linking cannot see across files); open-
+    question state persists across micro-batches and across restarts
+    via the checkpoint."""
+    import json as _json
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stateful_link_replies, stream_discord_exports,
+    )
+
+    import os as _os
+
+    base = tmp_path_factory.mktemp("state_link")
+    land = base / "landing"
+    land.mkdir()
+    thread = {"name": "same thread"}
+    (land / "e1.json").write_text(_json.dumps({
+        "channel": {"id": "c", "name": "qa"},
+        "messages": [
+            {"id": "q1", "timestamp": "2024-01-02T03:00:00Z",
+             "content": "what should i buy, btc or eth?",
+             "author": {"id": "a1", "name": "Asker"},
+             "thread": thread}]}))
+    (land / "e2.json").write_text(_json.dumps({
+        "channel": {"id": "c", "name": "qa"},
+        "messages": [
+            {"id": "ans1", "timestamp": "2024-01-02T03:05:00Z",
+             "content": "i kept mine for two years and it worked out"
+                        " fine, just keep the size small",
+             "author": {"id": "a2", "name": "Helper"},
+             "reference": {"messageId": "q1"},
+             "thread": thread}]}))
+    # distinct mtimes: the file source orders micro-batches by
+    # modification time, and the landing files must arrive q-first
+    # (as they would in production, landing over time)
+    _os.utime(land / "e1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(land / "e2.json", (1_700_000_100, 1_700_000_100))
+
+    from project_discord_knowledge_graph_spark.operators.classify import (
+        with_type,
+    )
+    out, ckpt = str(base / "links"), str(base / "ckpt")
+    msgs = with_type(stream_discord_exports(spark, str(land),
+                                            max_files_per_trigger=1))
+    q = run_available_now(stateful_link_replies(msgs), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert [(r.subject, r.predicate, r.object) for r in rows] == [
+        ("q1", "answered_by", "ans1")]
+    assert rows[0].confidence == 0.95
+
+    # restart with a third file: state restored from the checkpoint,
+    # another reply to the SAME old question still links
+    (land / "e3.json").write_text(_json.dumps({
+        "channel": {"id": "c", "name": "qa"},
+        "messages": [
+            {"id": "ans2", "timestamp": "2024-01-02T03:07:00Z",
+             "content": "same experience here, it does nothing for"
+                        " months and then catches up all at once",
+             "author": {"id": "a3", "name": "Other"},
+             "reference": {"messageId": "q1"},
+             "thread": thread}]}))
+    msgs2 = with_type(stream_discord_exports(spark, str(land)))
+    q2 = run_available_now(stateful_link_replies(msgs2), out, ckpt)
+    q2.awaitTermination(120)
+    pairs = {(r.subject, r.object)
+             for r in spark.read.parquet(out).collect()}
+    assert pairs == {("q1", "ans1"), ("q1", "ans2")}
+
+
 def test_hourly_window_late_data(spark, tmp_path_factory):
     """Out-of-order landing files against the watermarked hourly
     window: a late row within the watermark folds into its correct
