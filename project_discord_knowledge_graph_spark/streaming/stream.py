@@ -138,69 +138,105 @@ def session_counts(pages_stream: DataFrame, gap: str = "5 minutes",
 STATEFUL_LINK_SCHEMA = ("subject string, predicate string, "
                         "object string, message_id string, "
                         "segment_id string, confidence double")
-_LINK_STATE_SCHEMA = ("q_ids array<string>, q_ts array<string>")
+_LINK_STATE_SCHEMA = ("q_ids array<string>, q_authors array<string>, "
+                      "q_ts array<string>")
 
 
-def stateful_link_replies(messages: DataFrame,
-                          max_open_hours: float = 24.0) -> DataFrame:
+def stateful_link_qa(messages: DataFrame,
+                     time_window_minutes: int = 10,
+                     max_open_hours: float = 24.0) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): CROSS-batch
-    Q->A reply linking.
+    Q->A linking — J1 reply links (confidence 0.95,
+    extractor.py:441-463) AND J2 mention links (confidence 0.80,
+    10-minute window with no lower bound, extractor.py:465-492).
 
     The foreachBatch path links only within one micro-batch (the
     reference's per-export-file behavior); this operator carries the
-    set of OPEN QUESTIONS per segment as stream state, so a question
-    landing in one export file and its reply landing in a later file
-    still link — the incremental semantics a continuously-ingesting
-    deployment needs.
+    set of OPEN QUESTIONS per segment — (id, author, timestamp) — as
+    stream state, so a question landing in one export file links to
+    replies/mentions landing in later files — the incremental
+    semantics a continuously-ingesting deployment needs.  Within a
+    batch all questions register before answers scan (both reference
+    joins are order-independent set semantics); across batches the
+    inherent streaming asymmetry remains: an answer arriving BEFORE
+    its question's file cannot link (the batch path's
+    no-lower-bound quirk needs both rows present at once).
 
     State is bounded by EVENT time, pruned in user code: a question
     older than max_open_hours behind the segment's max seen timestamp
-    is dropped from state.  (GroupStateTimeout.ProcessingTimeTimeout
-    is NOT used: in this PySpark build the timeout protocol crashes
-    the Python worker — reproduced with the doc example — and
-    event-time pruning is the semantically right bound anyway:
-    replies arrive within the conversation's own clock, not the
-    cluster's.)
+    is dropped.  (GroupStateTimeout.ProcessingTimeTimeout is NOT
+    used: in this PySpark build the timeout protocol crashes the
+    Python worker — reproduced with the doc example — and event-time
+    pruning is the semantically right bound anyway: replies arrive
+    within the conversation's own clock, not the cluster's.)
 
     Input: flattened messages with (segment_id, message_id, type,
-    reply_to, timestamp — normalized ISO string, lexicographically
-    time-ordered).  Output: J1-shaped reply links (confidence 0.95,
-    extractor.py:441-463)."""
+    author, mentions, reply_to, timestamp — normalized ISO string,
+    lexicographically time-ordered)."""
     from collections.abc import Iterator
 
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
     )
 
+    def _us(ts: str):
+        import datetime as dt
+        try:
+            return dt.datetime.fromisoformat(ts).timestamp()
+        except (ValueError, TypeError):
+            return None
+
     def link(key, pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         import datetime as dt
         cols = ["subject", "predicate", "object", "message_id",
                 "segment_id", "confidence"]
-        (q_ids, q_ts) = state.get if state.exists else ([], [])
-        open_qs = dict(zip(q_ids, q_ts))
+        (q_ids, q_authors, q_ts) = state.get if state.exists \
+            else ([], [], [])
+        open_qs = {i: (a, t) for i, a, t
+                   in zip(q_ids, q_authors, q_ts)}
         out = []
         max_ts = max(q_ts) if q_ts else ""
         # the group's batch slice arrives as MULTIPLE Arrow chunks in
-        # arbitrary order — concat before sorting, or an answer chunk
+        # arbitrary order — concat before scanning, or an answer chunk
         # preceding its question's chunk would miss the link
         chunks = [c for c in pdfs if len(c)]
         batch = (pd.concat(chunks) if chunks
                  else pd.DataFrame(columns=["segment_id", "message_id",
-                                            "type", "reply_to",
-                                            "timestamp"]))
-        for r in batch.sort_values(
-                ["timestamp", "message_id"]).itertuples():
+                                            "type", "author", "mentions",
+                                            "reply_to", "timestamp"]))
+        batch = batch.sort_values(["timestamp", "message_id"])
+        # phase 1: register every question of the batch (reference
+        # joins are set-semantic — an answer may precede its question
+        # inside one export file)
+        for r in batch[batch["type"] == "question"].itertuples():
+            ts = r.timestamp or ""
+            open_qs[r.message_id] = ((r.author or "").lower(), ts)
+        # phase 2: scan answers against the full open-question set
+        by_author: dict[str, list] = {}
+        for qid, (qa, qt) in open_qs.items():
+            by_author.setdefault(qa, []).append((qid, qt))
+        for r in batch.itertuples():
             ts = r.timestamp or ""
             max_ts = max(max_ts, ts)
-            if r.type == "question":
-                open_qs[r.message_id] = ts
-            elif (r.type == "answer" and r.reply_to
-                  and r.reply_to in open_qs):
-                out.append((r.reply_to, "answered_by",
-                            r.message_id,
+            if r.type != "answer":
+                continue
+            if r.reply_to and r.reply_to in open_qs:
+                out.append((r.reply_to, "answered_by", r.message_id,
                             f"{r.reply_to}_reply_{r.message_id}",
                             key[0], 0.95))
+            a_us = _us(ts)
+            for m in (r.mentions if r.mentions is not None else []):
+                for qid, qt in by_author.get((m or "").lower(), []):
+                    q_us = _us(qt)
+                    # J2 window: only the upper bound, faithfully
+                    # (extractor.py:480)
+                    if (a_us is not None and q_us is not None
+                            and a_us - q_us
+                            <= time_window_minutes * 60):
+                        out.append((qid, "answered_by", r.message_id,
+                                    f"{qid}_mention_{r.message_id}",
+                                    key[0], 0.80))
         # event-time prune: normalized ISO strings order
         # lexicographically, so the cutoff is a string compare
         cutoff = ""
@@ -209,17 +245,24 @@ def stateful_link_replies(messages: DataFrame,
                       - dt.timedelta(hours=max_open_hours)).isoformat()
         except ValueError:
             pass
-        open_qs = {i: t for i, t in open_qs.items() if t >= cutoff}
-        state.update((list(open_qs.keys()), list(open_qs.values())))
+        open_qs = {i: (a, t) for i, (a, t) in open_qs.items()
+                   if t >= cutoff}
+        state.update((list(open_qs.keys()),
+                      [a for a, _ in open_qs.values()],
+                      [t for _, t in open_qs.values()]))
         yield pd.DataFrame(out, columns=cols)
 
     return (messages
-            .select("segment_id", "message_id", "type", "reply_to",
-                    "timestamp")
+            .select("segment_id", "message_id", "type", "author",
+                    "mentions", "reply_to", "timestamp")
             .groupBy("segment_id")
             .applyInPandasWithState(
                 link, STATEFUL_LINK_SCHEMA, _LINK_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+# backward-compatible name: reply-only callers get the full operator
+stateful_link_replies = stateful_link_qa
 
 
 def run_available_now(stream_df: DataFrame, out_path: str,

@@ -137,7 +137,7 @@ def test_stateful_cross_batch_link(spark, tmp_path_factory):
     import json as _json
 
     from project_discord_knowledge_graph_spark.streaming.stream import (
-        stateful_link_replies, stream_discord_exports,
+        stateful_link_qa, stream_discord_exports,
     )
 
     import os as _os
@@ -174,7 +174,7 @@ def test_stateful_cross_batch_link(spark, tmp_path_factory):
     out, ckpt = str(base / "links"), str(base / "ckpt")
     msgs = with_type(stream_discord_exports(spark, str(land),
                                             max_files_per_trigger=1))
-    q = run_available_now(stateful_link_replies(msgs), out, ckpt)
+    q = run_available_now(stateful_link_qa(msgs), out, ckpt)
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     rows = got.collect()
@@ -182,8 +182,9 @@ def test_stateful_cross_batch_link(spark, tmp_path_factory):
         ("q1", "answered_by", "ans1")]
     assert rows[0].confidence == 0.95
 
-    # restart with a third file: state restored from the checkpoint,
-    # another reply to the SAME old question still links
+    # restart with a third file: state restored from the checkpoint.
+    # ans2 MENTIONS the old question's author (no reference) within
+    # the 10-minute window -> J2 mention link, confidence 0.80
     (land / "e3.json").write_text(_json.dumps({
         "channel": {"id": "c", "name": "qa"},
         "messages": [
@@ -191,14 +192,17 @@ def test_stateful_cross_batch_link(spark, tmp_path_factory):
              "content": "same experience here, it does nothing for"
                         " months and then catches up all at once",
              "author": {"id": "a3", "name": "Other"},
-             "reference": {"messageId": "q1"},
+             "mentions": [{"id": None, "name": "Asker"}],
              "thread": thread}]}))
     msgs2 = with_type(stream_discord_exports(spark, str(land)))
-    q2 = run_available_now(stateful_link_replies(msgs2), out, ckpt)
+    q2 = run_available_now(stateful_link_qa(msgs2), out, ckpt)
     q2.awaitTermination(120)
-    pairs = {(r.subject, r.object)
-             for r in spark.read.parquet(out).collect()}
-    assert pairs == {("q1", "ans1"), ("q1", "ans2")}
+    by_obj = {r.object: r for r in spark.read.parquet(out).collect()}
+    assert set(by_obj) == {"ans1", "ans2"}
+    assert by_obj["ans1"].message_id == "q1_reply_ans1"
+    assert by_obj["ans2"].message_id == "q1_mention_ans2"
+    assert by_obj["ans2"].confidence == 0.80
+    assert by_obj["ans2"].subject == "q1"
 
 
 def test_hourly_window_late_data(spark, tmp_path_factory):
