@@ -205,6 +205,46 @@ def test_stateful_cross_batch_link(spark, tmp_path_factory):
     assert by_obj["ans2"].subject == "q1"
 
 
+def test_stateful_linker_matches_batch_joins(spark, tmp_path_factory):
+    """Equivalence gate: the stateful linker over the full events
+    corpus (single batch) must emit EXACTLY the batch J1+J2 join
+    results — same link ids, same confidences — including the
+    no-lower-bound J2 quirk (answers preceding their question)."""
+    from project_discord_knowledge_graph_spark.entry_queries import (
+        events_messages,
+    )
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_mentions, link_by_replies, split_qa,
+    )
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stateful_link_qa,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    msgs = events_messages(spark, sf)
+    questions, answers = split_qa(msgs)
+    want = {(r.subject, r.object, r.message_id, r.confidence)
+            for r in link_by_replies(questions, answers)
+            .unionByName(link_by_mentions(questions, answers))
+            .select("subject", "object", "message_id", "confidence")
+            .collect()}
+
+    base = tmp_path_factory.mktemp("equiv")
+    src = str(base / "msgs")
+    msgs.select("segment_id", "message_id", "type", "author",
+                "mentions", "reply_to", "timestamp") \
+        .write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out, ckpt = str(base / "links"), str(base / "ckpt")
+    q = run_available_now(stateful_link_qa(stream), out, ckpt)
+    q.awaitTermination(120)
+    got = {(r.subject, r.object, r.message_id, r.confidence)
+           for r in spark.read.parquet(out).collect()}
+    assert got == want and len(got) > 20, (
+        len(got), len(want), list(got ^ want)[:5])
+
+
 def test_hourly_window_late_data(spark, tmp_path_factory):
     """Out-of-order landing files against the watermarked hourly
     window: a late row within the watermark folds into its correct
