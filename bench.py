@@ -61,7 +61,7 @@ def ensure_exports(n: int, seed: int = 42, per_file: int = 2000) -> str:
     generator as the pages corpus, chunked into export documents of
     per_file messages each.  Driver-side generation is fine here —
     this is cached bench scaffolding, not an engine path."""
-    path = f"{PAGES_CACHE}/exports_{n}"
+    path = f"{PAGES_CACHE}/exports_{n}_s{seed}_f{per_file}"
     marker = f"{path}/_DONE"
     if os.path.exists(marker):
         return path

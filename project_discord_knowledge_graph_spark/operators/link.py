@@ -144,11 +144,10 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
             "(text -> array<float>) or provide precomputed q_vec/a_vec "
             "columns")
 
-    dot = F.aggregate(
-        F.zip_with("q_vec", "a_vec", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        c, F.lit(0.0), lambda acc, v: acc + v * v))
+    # the ONE cosine implementation (operators/ann.py) — duplicated
+    # float-determinism arithmetic desynchronizes engines over time
+    from .ann import cosine_expr
+
     # exact integer micros (NTZ-safe, no double rounding at the
     # window boundary) — same arithmetic as the J2 mention join
     delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
@@ -159,7 +158,7 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
         .where((delta <= time_window_minutes * 60 * 1_000_000)
                & (delta >= 0))
         .withColumn("sim", F.round(
-            dot / (norm(F.col("q_vec")) * norm(F.col("a_vec"))), 6))
+            cosine_expr(F.col("q_vec"), F.col("a_vec")), 6))
         .where(F.col("sim") > threshold)
     )
     return _links(joined, "semantic", F.col("sim"),

@@ -81,24 +81,32 @@ def media_repartition(df: DataFrame, target_bytes: int = 64 << 20,
     if not slots:
         return df.repartition(1)
     n_total = sum(slots.values())
-    slot_count = F.element_at(
-        F.create_map(*[F.lit(x) for kv in slots.items() for x in kv]),
-        cls.cast("int"))
+    slots_map = F.create_map(*[F.lit(x) for kv in slots.items()
+                               for x in kv])
+    slot_count = F.element_at(slots_map, cls.cast("int"))
+    # exact round-robin only for genuinely row-LIGHT classes: few rows
+    # per slot AND few rows absolutely — the per-class window sort and
+    # the broadcast of the assignment frame must both stay tiny.  A
+    # uniformly-huge corpus (n ~ 32*slots but millions of rows) is
+    # row-dense enough for hash slotting's concentration anyway.
+    _LIGHT_MAX_ROWS = 65_536
     light = [int(r._cls) for r in per_class
-             if r.n < 32 * slots[int(r._cls)]]
+             if r.n < min(32 * slots[int(r._cls)], _LIGHT_MAX_ROWS)]
 
     out_cols = df.columns
     keyed = df.withColumn("_cls", cls.cast("int"))
     if light:
+        # one assignment row per DISTINCT id (dropDuplicates) so the
+        # join back can never change the row multiset — duplicate-id
+        # rows simply share a slot
         proj = (keyed.where(F.col("_cls").isin(light))
-                .select(F.col(id_col).alias("_mid"), "_cls"))
+                .select(F.col(id_col).alias("_mid"), "_cls")
+                .dropDuplicates(["_mid"]))
         w = Window.partitionBy("_cls").orderBy(F.xxhash64("_mid"))
-        n_slots_of = F.element_at(
-            F.create_map(*[F.lit(x) for kv in slots.items()
-                           for x in kv]), F.col("_cls"))
         assign = proj.select(
             "_mid",
-            F.pmod(F.row_number().over(w) - 1, n_slots_of)
+            F.pmod(F.row_number().over(w) - 1,
+                   F.element_at(slots_map, F.col("_cls")))
              .alias("_aslot"))
         keyed = keyed.join(F.broadcast(assign),
                            keyed[id_col] == assign["_mid"], "left") \

@@ -179,10 +179,10 @@ def stateful_link_qa(messages: DataFrame,
         GroupState, GroupStateTimeout,
     )
 
-    def _us(ts: str):
+    def _parse(ts: str):
         import datetime as dt
         try:
-            return dt.datetime.fromisoformat(ts).timestamp()
+            return dt.datetime.fromisoformat(ts)
         except (ValueError, TypeError):
             return None
 
@@ -196,7 +196,21 @@ def stateful_link_qa(messages: DataFrame,
         open_qs = {i: (a, t) for i, a, t
                    in zip(q_ids, q_authors, q_ts)}
         out = []
-        max_ts = max(q_ts) if q_ts else ""
+
+        def _mx(cur, t):
+            d = _parse(t)
+            if d is None:
+                return cur
+            if cur is None:
+                return d
+            try:
+                return max(cur, d)
+            except TypeError:  # mixed naive/aware stamps
+                return cur
+
+        mx_dt = None
+        for t in q_ts:
+            mx_dt = _mx(mx_dt, t)
         # the group's batch slice arrives as MULTIPLE Arrow chunks in
         # arbitrary order — concat before scanning, or an answer chunk
         # preceding its question's chunk would miss the link
@@ -218,35 +232,56 @@ def stateful_link_qa(messages: DataFrame,
             by_author.setdefault(qa, []).append((qid, qt))
         for r in batch.itertuples():
             ts = r.timestamp or ""
-            max_ts = max(max_ts, ts)
+            mx_dt = _mx(mx_dt, ts)
             if r.type != "answer":
                 continue
             if r.reply_to and r.reply_to in open_qs:
                 out.append((r.reply_to, "answered_by", r.message_id,
                             f"{r.reply_to}_reply_{r.message_id}",
                             key[0], 0.95))
-            a_us = _us(ts)
+            a_dt = _parse(ts)
             for m in (r.mentions if r.mentions is not None else []):
                 for qid, qt in by_author.get((m or "").lower(), []):
-                    q_us = _us(qt)
+                    q_dt = _parse(qt)
                     # J2 window: only the upper bound, faithfully
-                    # (extractor.py:480)
-                    if (a_us is not None and q_us is not None
-                            and a_us - q_us
-                            <= time_window_minutes * 60):
+                    # (extractor.py:480).  Pure timedelta compare —
+                    # exact to the microsecond, no float rounding at
+                    # the window boundary (the batch join uses exact
+                    # integer unix_micros).
+                    if a_dt is None or q_dt is None:
+                        continue
+                    try:
+                        ok = (a_dt - q_dt) <= dt.timedelta(
+                            minutes=time_window_minutes)
+                    except TypeError:  # mixed naive/aware stamps
+                        ok = False
+                    if ok:
                         out.append((qid, "answered_by", r.message_id,
                                     f"{qid}_mention_{r.message_id}",
                                     key[0], 0.80))
-        # event-time prune: normalized ISO strings order
-        # lexicographically, so the cutoff is a string compare
-        cutoff = ""
-        try:
-            cutoff = (dt.datetime.fromisoformat(max_ts)
-                      - dt.timedelta(hours=max_open_hours)).isoformat()
-        except ValueError:
-            pass
+        # event-time prune on PARSED datetimes — string compare would
+        # misorder 'T'-separated cutoffs against space-separated input
+        # stamps ('2024-01-09 18:00' < '2024-01-09T12:00' at char 10).
+        # Unparseable stamps are kept: they carry no event time to
+        # judge, and quarantined-timestamp questions must stay
+        # linkable by reply id.
+        cut_dt = None
+        if mx_dt is not None:
+            cut_dt = mx_dt - dt.timedelta(hours=max_open_hours)
+
+        def _keep(t: str) -> bool:
+            if cut_dt is None:
+                return True
+            d = _parse(t)
+            if d is None:
+                return True
+            try:
+                return d >= cut_dt
+            except TypeError:
+                return True
+
         open_qs = {i: (a, t) for i, (a, t) in open_qs.items()
-                   if t >= cutoff}
+                   if _keep(t)}
         state.update((list(open_qs.keys()),
                       [a for a, _ in open_qs.values()],
                       [t for _, t in open_qs.values()]))
@@ -259,10 +294,6 @@ def stateful_link_qa(messages: DataFrame,
             .applyInPandasWithState(
                 link, STATEFUL_LINK_SCHEMA, _LINK_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
-
-
-# backward-compatible name: reply-only callers get the full operator
-stateful_link_replies = stateful_link_qa
 
 
 def run_available_now(stream_df: DataFrame, out_path: str,

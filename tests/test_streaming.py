@@ -205,6 +205,47 @@ def test_stateful_cross_batch_link(spark, tmp_path_factory):
     assert by_obj["ans2"].subject == "q1"
 
 
+def test_stateful_prune_handles_space_separated_stamps(
+        spark, tmp_path_factory):
+    """Regression: the event-time prune must parse timestamps, not
+    string-compare them — a 'T'-separated cutoff against the corpus's
+    space-separated stamps would wrongly prune a same-day question
+    ('2024-01-09 18:00' < '2024-01-09T12:00' at char 10) and drop the
+    cross-batch link."""
+    import json as _json
+    import os as _os
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stateful_link_qa,
+    )
+
+    base = tmp_path_factory.mktemp("prune_fmt")
+    land = base / "land"
+    land.mkdir()
+    # question 18h before the answer — inside the 24h open window
+    (land / "f1.jsonl").write_text(_json.dumps(
+        {"segment_id": "s1", "message_id": "q1", "type": "question",
+         "author": "alice", "mentions": [], "reply_to": None,
+         "timestamp": "2024-01-09 18:00:00"}) + "\n")
+    (land / "f2.jsonl").write_text(_json.dumps(
+        {"segment_id": "s1", "message_id": "a1", "type": "answer",
+         "author": "bob", "mentions": [], "reply_to": "q1",
+         "timestamp": "2024-01-10 12:00:00"}) + "\n")
+    _os.utime(land / "f1.jsonl", (1_700_000_000, 1_700_000_000))
+    _os.utime(land / "f2.jsonl", (1_700_000_100, 1_700_000_100))
+
+    schema = ("segment_id string, message_id string, type string, "
+              "author string, mentions array<string>, "
+              "reply_to string, timestamp string")
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").json(str(land))
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    q = run_available_now(stateful_link_qa(stream), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert [(r.subject, r.object) for r in got] == [("q1", "a1")]
+
+
 def test_stateful_linker_matches_batch_joins(spark, tmp_path_factory):
     """Equivalence gate: the stateful linker over the full events
     corpus (single batch) must emit EXACTLY the batch J1+J2 join
