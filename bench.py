@@ -274,6 +274,50 @@ def cc_deep_run() -> dict:
         spark.stop()
 
 
+def streaming_run(sf_dir: str) -> dict:
+    """Streaming-surface throughput: drain the events-derived message
+    corpus through the stateful cross-batch Q->A linker
+    (applyInPandasWithState) with an availableNow trigger, reporting
+    messages/sec and links emitted."""
+    import shutil
+    import tempfile
+
+    from project_discord_knowledge_graph_spark.entry_queries import (
+        events_messages,
+    )
+    from project_discord_knowledge_graph_spark.session import get_spark
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        run_available_now, stateful_link_qa,
+    )
+
+    spark = get_spark("bench-stream", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="kg_stream_bench_")
+    try:
+        msgs = events_messages(spark, sf_dir).select(
+            "segment_id", "message_id", "type", "author", "mentions",
+            "reply_to", "timestamp")
+        n_msgs = msgs.count()
+        src = f"{d}/msgs"
+        msgs.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        t0 = time.perf_counter()
+        q = run_available_now(stateful_link_qa(stream),
+                              f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination(600)
+        wall = round(time.perf_counter() - t0, 3)
+        links = spark.read.parquet(f"{d}/out").count()
+        return {"metric": "stateful_link_stream", "value": wall,
+                "unit": "sec", "sf": sf_dir, "n_msgs": n_msgs,
+                "links": links,
+                "msgs_per_sec": round(n_msgs / wall, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
 def scaling_run(sf_dir: str) -> dict:
     """Run bench at N and 4N cores in fresh subprocesses (fresh JVMs);
     N defaults to SPARK_GRAFT_SCALING_N=2.
@@ -379,12 +423,16 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cc", action="store_true",
                     help="deep-graph connected-components rounds bench")
+    ap.add_argument("--streaming", action="store_true",
+                    help="stateful cross-batch linker throughput")
     ap.add_argument("--json-only", action="store_true",
                     help="suppress everything except the final JSON line")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
     if args.cc:
         print(json.dumps(cc_deep_run()))
+    elif args.streaming:
+        print(json.dumps(streaming_run(sf_dir)))
     elif args.scaling:
         print(json.dumps(scaling_run(sf_dir)))
     else:
