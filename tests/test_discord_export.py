@@ -240,6 +240,92 @@ def test_repaired_export_matches_reference_port(spark, tmp_path_factory):
         {"emoji": "+1", "count": 2}]
 
 
+def test_repair_fuzz_parity(spark, tmp_path_factory):
+    """Fuzz parity for the repair door: 40 random export documents
+    with randomly malformed roles/mentions/attachments/reactions
+    (bare strings, ints, bools, partial dicts, empty lists, dirty
+    timestamps) through read_discord_export_repaired must match the
+    behavioral port field by field.  Explicit-null field VALUES are
+    excluded by construction — that is the documented columnar-schema
+    deviation, tested separately."""
+    import random
+
+    from project_discord_knowledge_graph_spark.sources.discord_export \
+        import read_discord_export_repaired
+
+    rng = random.Random(4242)
+
+    def junk_role():
+        return rng.choice([
+            "admin", "mod x", 7, -3, True, False,
+            {"id": "r1", "name": "member"},
+            {"id": "r2"}, {"name": "vip"}, {}])
+
+    def junk_mention():
+        return rng.choice([
+            "bob", 42, True, {"id": "u9"},
+            {"id": "u1", "name": "Carol"}, {"name": "Dave"}, {}])
+
+    def junk_attachment():
+        return rng.choice([
+            "junk", 5, False,
+            {"fileName": "f.png", "url": "u", "fileSizeBytes": 7},
+            {"url": "only-url"}, {"fileName": "nameonly.csv"}, {}])
+
+    def junk_reaction():
+        return rng.choice([
+            "bad", 9, {"emoji": {"name": "+1"}, "count": 2},
+            {"emoji": {"name": "eyes"}}, {"count": 4}, {}])
+
+    def gen_doc(d):
+        msgs = []
+        for i in range(rng.randrange(3, 7)):
+            ts = rng.choice([
+                "2024-01-02T03:04:05Z", "2024-01-02T03:04:05.123456Z",
+                "2024-01-02 03:04:05", "yesterday-ish", "",
+                "2024-01-02T23:30:00+02:00"])
+            m = {"id": f"d{d}m{i}",
+                 "timestamp": ts,
+                 "content": rng.choice(
+                     ["hello world", "what now?", "  ", "x" * 60]),
+                 "author": {"id": f"a{i}", "name": f"user{i % 3}"}}
+            if rng.random() < 0.8:
+                m["author"]["roles"] = [junk_role()
+                                        for _ in range(rng.randrange(4))]
+            if rng.random() < 0.7:
+                m["mentions"] = [junk_mention()
+                                 for _ in range(rng.randrange(4))]
+            if rng.random() < 0.6:
+                m["attachments"] = [junk_attachment()
+                                    for _ in range(rng.randrange(3))]
+            if rng.random() < 0.6:
+                m["reactions"] = [junk_reaction()
+                                  for _ in range(rng.randrange(3))]
+            if rng.random() < 0.4:
+                m["reference"] = {"messageId": f"d{d}m{max(0, i - 1)}"}
+            if rng.random() < 0.3:
+                m["thread"] = {"name": f"T {d}!{i}"}
+            msgs.append(m)
+        return {"channel": {"id": f"c{d}", "name": f"chan-{d}"},
+                "messages": msgs}
+
+    docs = [gen_doc(d) for d in range(40)]
+    land = tmp_path_factory.mktemp("repair_fuzz")
+    for d, doc in enumerate(docs):
+        (land / f"e{d}.json").write_text(json.dumps(doc))
+
+    got = {r.message_id: r for r in export_to_messages(
+        read_discord_export_repaired(spark, str(land))).collect()}
+    want = {}
+    for doc in docs:
+        for r in RP.process_export(doc):
+            want[r["message_id"]] = r
+    assert set(got) == set(want) and len(want) > 80
+    for mid, row in got.items():
+        for f in FIELDS:
+            assert _normalize(row[f]) == want[mid][f], (mid, f)
+
+
 def test_repair_drops_unparseable_documents(spark, tmp_path_factory):
     from project_discord_knowledge_graph_spark.sources.discord_export \
         import read_discord_export_repaired
