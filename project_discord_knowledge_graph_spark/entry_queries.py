@@ -1153,6 +1153,68 @@ reach(n, m) AS (
 SELECT n AS node, min(m) AS component FROM reach GROUP BY n"""
 
 
+def q_entity_canonical(spark, sf_dir):
+    """Entity-linking pipeline oracle: the engine's own triples ->
+    extract_mentions (salted head-key agg) -> candidate pairs ->
+    score_pairs (exact trigram Jaccard >= 0.5) -> canonicalize
+    (connected components, min-member id).  Candidates here are the
+    exact all-pairs baseline (broadcast-bounded: the sf mention
+    universe is tiny) so every stage is DuckDB-provable; the
+    production path swaps in lsh_candidate_pairs, whose recall is
+    gated separately (tests/test_entity_graph.py)."""
+    from .operators.entity import (
+        canonicalize, extract_mentions, score_pairs,
+    )
+    triples = extract_triples(docs_messages(spark, sf_dir))
+    mentions = extract_mentions(triples)
+    a = mentions.select(F.col("mention").alias("mention_a"))
+    b = mentions.select(F.col("mention").alias("mention_b"))
+    cands = (F.broadcast(a).crossJoin(b)
+             .where(F.col("mention_a") < F.col("mention_b")))
+    return canonicalize(mentions, score_pairs(cands, 0.5))
+
+
+_NGRAM_SQL = (
+    "list_distinct(list_transform(generate_series(1, "
+    "greatest(length('^' || {m} || '$') - 2, 1)), "
+    "i -> substr('^' || {m} || '$', i, 3)))")
+
+SQL_ENTITY_CANONICAL = SQL_EXTRACT_ALL_CTES.replace(
+    "WITH ", "WITH RECURSIVE ", 1) + f""",
+raw_mentions AS (
+  SELECT subject AS mention FROM allt
+  WHERE predicate <> 'answered_by'
+  UNION ALL
+  SELECT object FROM allt
+  WHERE predicate IN ('mentions_asset', 'recommends_buy',
+                      'recommends_sell', 'recommends_hold', 'analyzes',
+                      'shares_opinion', 'discusses', 'recommends')),
+mentions AS (
+  SELECT lower(trim(mention)) AS mention,
+         count(*) AS n_occurrences
+  FROM raw_mentions
+  WHERE length(mention) > 0 AND length(mention) <= 64
+  GROUP BY 1),
+grams AS (SELECT mention, {_NGRAM_SQL.format(m='mention')} AS g
+          FROM mentions),
+pairs AS (
+  SELECT a.mention AS ma, b.mention AS mb
+  FROM grams a JOIN grams b ON a.mention < b.mention
+  WHERE CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+        / length(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+sym AS (SELECT ma AS u, mb AS v FROM pairs
+        UNION SELECT mb, ma FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m),
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+SELECT m.mention, m.n_occurrences,
+       coalesce(c.component, m.mention) AS canonical_id
+FROM mentions m LEFT JOIN comp c ON m.mention = c.node"""
+
+
 # ---------------------------------------------------------------------------
 # J5/A10 comparison join, S9 sampler, W1 lag, scalar families
 # ---------------------------------------------------------------------------
@@ -2115,6 +2177,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
+    "kg_entity_canonical": (q_entity_canonical, SQL_ENTITY_CANONICAL),
     "cmp_extract_variants": (q_cmp_extract_variants,
                              SQL_CMP_EXTRACT_VARIANTS),
     "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
