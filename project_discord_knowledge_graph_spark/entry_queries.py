@@ -1179,7 +1179,7 @@ _NGRAM_SQL = (
     "greatest(length('^' || {m} || '$') - 2, 1)), "
     "i -> substr('^' || {m} || '$', i, 3)))")
 
-SQL_ENTITY_CANONICAL = SQL_EXTRACT_ALL_CTES.replace(
+_SQL_ENTITY_CTES = SQL_EXTRACT_ALL_CTES.replace(
     "WITH ", "WITH RECURSIVE ", 1) + f""",
 raw_mentions AS (
   SELECT subject AS mention FROM allt
@@ -1209,10 +1209,58 @@ reach(n, m) AS (
   SELECT n, n FROM nodes
   UNION
   SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m),
-comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
-SELECT m.mention, m.n_occurrences,
-       coalesce(c.component, m.mention) AS canonical_id
-FROM mentions m LEFT JOIN comp c ON m.mention = c.node"""
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+canon AS (
+  SELECT m.mention, m.n_occurrences,
+         coalesce(c.component, m.mention) AS canonical_id
+  FROM mentions m LEFT JOIN comp c ON m.mention = c.node)"""
+
+SQL_ENTITY_CANONICAL = _SQL_ENTITY_CTES + """
+SELECT mention, n_occurrences, canonical_id FROM canon"""
+
+
+def q_graph_nodes(spark, sf_dir):
+    """Graph materialize, node side (operators/graph.py build_nodes):
+    one row per canonical entity with its sorted member-mention list
+    (projected to csv for cross-engine hashing), total occurrences,
+    and variant count."""
+    from .operators.graph import build_nodes
+    nodes = build_nodes(q_entity_canonical(spark, sf_dir))
+    return nodes.select(
+        "canonical_id",
+        F.concat_ws(",", "mentions").alias("mentions_csv"),
+        "n_mentions", "n_variants")
+
+
+SQL_GRAPH_NODES = _SQL_ENTITY_CTES + """
+SELECT canonical_id,
+       string_agg(mention, ',' ORDER BY mention) AS mentions_csv,
+       CAST(sum(n_occurrences) AS BIGINT) AS n_mentions,
+       count(*) AS n_variants
+FROM canon GROUP BY canonical_id"""
+
+
+def q_graph_edges(spark, sf_dir):
+    """Graph materialize, edge side (operators/graph.py build_edges):
+    triples rekeyed to canonical entity ids via two broadcast joins,
+    raw values falling through for mentions outside the entity
+    universe (long topics, free text)."""
+    from .operators.graph import build_edges
+    triples = extract_triples(docs_messages(spark, sf_dir))
+    edges = build_edges(triples, q_entity_canonical(spark, sf_dir))
+    return edges.select("src", "predicate", "dst", "message_id",
+                        "confidence")
+
+
+SQL_GRAPH_EDGES = _SQL_ENTITY_CTES + """
+SELECT coalesce(cs.canonical_id, t.subject) AS src,
+       t.predicate,
+       coalesce(co.canonical_id, t.object) AS dst,
+       t.message_id,
+       CAST(t.confidence AS DOUBLE) AS confidence
+FROM allt t
+LEFT JOIN canon cs ON lower(trim(t.subject)) = cs.mention
+LEFT JOIN canon co ON lower(trim(t.object)) = co.mention"""
 
 
 # ---------------------------------------------------------------------------
@@ -2178,6 +2226,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "kg_entity_canonical": (q_entity_canonical, SQL_ENTITY_CANONICAL),
+    "kg_graph_nodes": (q_graph_nodes, SQL_GRAPH_NODES),
+    "kg_graph_edges": (q_graph_edges, SQL_GRAPH_EDGES),
     "cmp_extract_variants": (q_cmp_extract_variants,
                              SQL_CMP_EXTRACT_VARIANTS),
     "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
