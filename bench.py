@@ -306,13 +306,27 @@ def streaming_run(sf_dir: str) -> dict:
         t0 = time.perf_counter()
         q = run_available_now(stateful_link_qa(stream),
                               f"{d}/out", f"{d}/ckpt")
-        q.awaitTermination(600)
+        terminated = q.awaitTermination(600)
         wall = round(time.perf_counter() - t0, 3)
+        # steady-state drain = sum of per-batch triggerExecution time;
+        # wall minus that is checkpoint/stream setup overhead.  A
+        # timed-out drain is stopped and flagged rather than reported
+        # as a throughput number over a partial count.
+        drain = round(sum(p["durationMs"].get("triggerExecution", 0)
+                          for p in (q.recentProgress or [])) / 1000.0, 3)
+        if not terminated:
+            q.stop()
+            q.awaitTermination(60)
         links = spark.read.parquet(f"{d}/out").count()
-        return {"metric": "stateful_link_stream", "value": wall,
-                "unit": "sec", "sf": sf_dir, "n_msgs": n_msgs,
-                "links": links,
-                "msgs_per_sec": round(n_msgs / wall, 1)}
+        out = {"metric": "stateful_link_stream", "value": wall,
+               "unit": "sec", "sf": sf_dir, "n_msgs": n_msgs,
+               "links": links, "drain_sec": drain,
+               "setup_sec": round(wall - drain, 3),
+               "msgs_per_sec": round(n_msgs / drain, 1)
+               if drain else None}
+        if not terminated:
+            out["timed_out"] = True
+        return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.stop()

@@ -500,17 +500,26 @@ def q_classify_zero_shot(spark, sf_dir):
 _ZS_LABEL_CASE = " ".join(
     f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(_ZS_LABELS))
 
+# The empty-default predicate mirrors the UDF exactly (classify.py:
+# _predict): NULL text is fillna('')-defaulted and whitespace-only text
+# is .str.strip()-defaulted, matching the reference's text.strip() check
+# (classifier.py:126) — so the oracle defaults on NULL and
+# whitespace-only too, not just t = ''.  regexp_replace-all-\s = ''
+# is whitespace-only-or-empty in one predicate (trim() alone would
+# miss tabs/newlines).
+_ZS_EMPTY = r"(t IS NULL OR regexp_replace(t, '\s', '', 'g') = '')"
+
 SQL_CLASSIFY_ZERO_SHOT = f"""
 WITH {docs_msgs_sql()},
 z AS (SELECT message_id,
              CASE WHEN doc_id % 37 = 0 THEN '' ELSE clean_text END AS t
       FROM dmsgs)
 SELECT message_id,
-       CASE WHEN t = '' THEN 'alert'
+       CASE WHEN {_ZS_EMPTY} THEN 'alert'
             ELSE CASE CAST(ascii(substr(md5(t), 1, 1)) % 8 AS INTEGER)
                  {_ZS_LABEL_CASE} END
        END AS type,
-       CASE WHEN t = '' THEN CAST(0.5 AS DOUBLE)
+       CASE WHEN {_ZS_EMPTY} THEN CAST(0.5 AS DOUBLE)
             ELSE CAST(ascii(substr(md5(t), 2, 1)) % 4 AS DOUBLE) * 0.25
        END AS confidence
 FROM z"""

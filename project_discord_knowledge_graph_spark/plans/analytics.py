@@ -54,9 +54,19 @@ def extractions_per_day(triples: DataFrame) -> DataFrame:
     """Extractions-over-time daily rollup (extraction/app.py:836-855):
     the triple's ISO timestamp string -> date bucket -> count;
     unparseable/missing timestamps are skipped exactly as the
-    reference's try/except-continue."""
-    d = F.to_date(F.try_to_timestamp(
-        F.regexp_replace("timestamp", "Z$", "+00:00")))
+    reference's try/except-continue.
+
+    Date semantics follow the reference's
+    fromisoformat(...).strftime('%Y-%m-%d'): the bucket is the
+    stamp's OWN wall-clock date (a '+05:00' stamp near midnight stays
+    on its local-calendar day), so the date comes from the string's
+    leading 'YYYY-MM-DD' — never from a session-timezone conversion.
+    The full-string parse is kept purely as the validity gate."""
+    valid = F.try_to_timestamp(
+        F.regexp_replace("timestamp", "Z$", "+00:00"))
+    d = F.when(valid.isNotNull(),
+               F.to_date(F.try_to_timestamp(
+                   F.substring("timestamp", 1, 10))))
     return (triples.withColumn("date", d)
             .where(F.col("date").isNotNull())
             .groupBy("date").agg(F.count("*").alias("extractions")))

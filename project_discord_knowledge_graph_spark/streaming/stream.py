@@ -180,11 +180,20 @@ def stateful_link_qa(messages: DataFrame,
     )
 
     def _parse(ts: str):
+        """Parse to an ALWAYS-offset-aware datetime: naive stamps are
+        taken as UTC, exactly what the batch join's cast-to-
+        timestamp_ltz does under the pinned-UTC session — so a corpus
+        mixing naive and offset-bearing stamps compares identically
+        here and in batch (previously a mixed compare raised
+        TypeError and silently dropped the link)."""
         import datetime as dt
         try:
-            return dt.datetime.fromisoformat(ts)
+            d = dt.datetime.fromisoformat(ts)
         except (ValueError, TypeError):
             return None
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=dt.timezone.utc)
+        return d
 
     def link(key, pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
@@ -201,12 +210,8 @@ def stateful_link_qa(messages: DataFrame,
             d = _parse(t)
             if d is None:
                 return cur
-            if cur is None:
-                return d
-            try:
-                return max(cur, d)
-            except TypeError:  # mixed naive/aware stamps
-                return cur
+            # _parse always returns offset-aware -> max() cannot raise
+            return d if cur is None else max(cur, d)
 
         mx_dt = None
         for t in q_ts:
@@ -250,12 +255,8 @@ def stateful_link_qa(messages: DataFrame,
                     # integer unix_micros).
                     if a_dt is None or q_dt is None:
                         continue
-                    try:
-                        ok = (a_dt - q_dt) <= dt.timedelta(
-                            minutes=time_window_minutes)
-                    except TypeError:  # mixed naive/aware stamps
-                        ok = False
-                    if ok:
+                    if (a_dt - q_dt) <= dt.timedelta(
+                            minutes=time_window_minutes):
                         out.append((qid, "answered_by", r.message_id,
                                     f"{qid}_mention_{r.message_id}",
                                     key[0], 0.80))
@@ -273,12 +274,7 @@ def stateful_link_qa(messages: DataFrame,
             if cut_dt is None:
                 return True
             d = _parse(t)
-            if d is None:
-                return True
-            try:
-                return d >= cut_dt
-            except TypeError:
-                return True
+            return True if d is None else d >= cut_dt
 
         open_qs = {i: (a, t) for i, (a, t) in open_qs.items()
                    if _keep(t)}

@@ -367,3 +367,62 @@ def test_session_window_stream(spark, landing, tmp_path_factory):
     assert all(r.session_end > r.session_start for r in rows)
     # sessions still open at the watermark are withheld (append mode)
     assert 150 <= sum(r.n_messages for r in rows) <= 200
+
+
+def test_stateful_linker_mixed_naive_aware_stamps(
+        spark, tmp_path_factory):
+    """Regression (round-4 advice): a mention link between a question
+    with an offset-bearing stamp and an answer with a naive stamp must
+    still be emitted — naive stamps are taken as UTC, matching the
+    batch join's cast-to-timestamp_ltz under the pinned-UTC session.
+    (Previously the aware-minus-naive subtraction raised TypeError and
+    the link was silently dropped.)"""
+    import json as _json
+    import os as _os
+
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_mentions, split_qa,
+    )
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stateful_link_qa,
+    )
+
+    # q at 08:01+05:00 == 03:01Z; naive answer at 03:05 (UTC) mentions
+    # the asker 4 minutes later — inside the 10-minute J2 window
+    rows = [
+        ("s1", "q1", "question", "alice", [], None,
+         "2024-01-02T08:01:00+05:00"),
+        ("s1", "a1", "answer", "bob", ["alice"], None,
+         "2024-01-02 03:05:00"),
+    ]
+    cols = ("segment_id string, message_id string, type string, "
+            "author string, mentions array<string>, reply_to string, "
+            "timestamp string")
+
+    # batch ground truth: the LTZ-cast join links the pair
+    msgs = spark.createDataFrame(rows, cols).withColumn(
+        "warc_ts", F.col("timestamp"))
+    questions, answers = split_qa(msgs)
+    want = {(r.subject, r.object, r.confidence)
+            for r in link_by_mentions(questions, answers).collect()}
+    assert want == {("q1", "a1", 0.80)}
+
+    # the stateful linker over the same rows, q and a in SEPARATE
+    # micro-batches (cross-batch state must survive the comparison)
+    base = tmp_path_factory.mktemp("mixed_tz")
+    land = base / "land"
+    land.mkdir()
+    for i, r in enumerate(rows):
+        (land / f"f{i}.jsonl").write_text(_json.dumps(dict(zip(
+            ["segment_id", "message_id", "type", "author", "mentions",
+             "reply_to", "timestamp"], r))) + "\n")
+        _os.utime(land / f"f{i}.jsonl",
+                  (1_700_000_000 + 100 * i,) * 2)
+    stream = spark.readStream.schema(cols) \
+        .option("maxFilesPerTrigger", "1").json(str(land))
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    q = run_available_now(stateful_link_qa(stream), out, ckpt)
+    q.awaitTermination(120)
+    got = {(r.subject, r.object, r.confidence)
+           for r in spark.read.parquet(out).collect()}
+    assert got == want
