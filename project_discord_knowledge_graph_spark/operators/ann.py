@@ -180,8 +180,14 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
     Output: (query_id, neighbor_id, rank, sim)."""
     cents = centroids if centroids is not None else \
         corpus.where(F.col(id_col) < n_cells)
+    # persist the (tiny, <= n_cells rows) centroid projection: it is
+    # broadcast twice — corpus assignment and query probing — and
+    # without the persist each broadcast rebuilds the subframe (two
+    # corpus scans for the default stand-in; plan-verified: two
+    # BroadcastExchanges, no ReusedExchange)
     cents = F.broadcast(cents.select(
-        F.col(id_col).alias("cell"), _as_double(vec_col).alias("cv")))
+        F.col(id_col).alias("cell"),
+        _as_double(vec_col).alias("cv")).persist())
 
     sim_c = F.round(cosine_expr(F.col("v"), F.col("cv")), 6)
     # nearest cell per corpus row: hash agg on the unique row id

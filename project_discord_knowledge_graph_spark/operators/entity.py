@@ -75,9 +75,16 @@ def extract_mentions(triples: DataFrame,
         .where((F.length("mention") > 0) & (F.length("mention") <= 64))
         .withColumn("norm", F.lower(F.trim(F.col("mention"))))
     )
+    # hash-derived salt, NOT rand(): result-stable either way, but a
+    # rand() column recomputes differently under stage retries /
+    # speculative attempts, making partial-agg sizes nondeterministic
+    # across attempts.  xxhash64 of the row's own values is free and
+    # retry-deterministic; the ("norm", "mention") pair spreads each
+    # head mention's casings across salts.
     salted = (
         mentions
-        .withColumn("_salt", F.floor(F.rand(seed=7) * N_SALTS))
+        .withColumn("_salt", F.pmod(F.xxhash64("norm", "mention"),
+                                    F.lit(N_SALTS)))
         .groupBy("norm", "_salt").agg(F.count("*").alias("_partial"))
     )
     return (salted.groupBy("norm")
