@@ -2200,6 +2200,14 @@ FROM lcalls GROUP BY provider, template_type"""
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordering contract: the correctness driver snapshots only the FIRST
+# 50 entries, so position is coverage.  Round 4 rotates the 12 entries
+# the driver had never gated (ann_lsh_*/ann_ivf_topk/embed_flatten/
+# llm_* views/kg_extractions_per_day/kg_attribute_outputs) into the
+# top 50 and demotes 12 generic TPC-H/setop/window rows that have been
+# driver-green for two consecutive rounds; scripts/check_oracles.py
+# runs ALL entries regardless of position and commits the full
+# artifact each round.
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_classify_counts": (q_classify_counts, SQL_CLASSIFY_COUNTS),
     "kg_classify_zero_shot": (q_classify_zero_shot,
@@ -2219,11 +2227,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_link_semantic": (q_link_semantic, SQL_LINK_SEMANTIC),
     "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
     "agg_confidence_stats": (q_confidence_stats, SQL_CONFIDENCE_STATS),
-    "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
-    "agg_top_users": (q_top_users, SQL_TOP_USERS),
     "agg_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
-    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
-    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
     "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
     "win_session_counts": (q_session_counts, SQL_SESSION_COUNTS),
     "agg_json_props": (q_json_props, SQL_JSON_PROPS),
@@ -2239,15 +2243,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_graph_edges": (q_graph_edges, SQL_GRAPH_EDGES),
     "cmp_extract_variants": (q_cmp_extract_variants,
                              SQL_CMP_EXTRACT_VARIANTS),
-    "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
-    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
-    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
-    "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "agg_embed_stats": (q_embed_stats, SQL_EMBED_STATS),
-    "tpch_q5_region_revenue": (q_tpch_q5, SQL_TPCH_Q5),
-    "setop_lapsed_users": (q_setop_lapsed_users, SQL_SETOP_LAPSED),
-    "agg_user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
-    "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
     "scalar_ts_normalize": (q_ts_normalize, SQL_TS_NORMALIZE),
     "kg_prune_candidates": (q_prune_candidates, SQL_PRUNE_CANDIDATES),
     "discord_flatten": (q_discord_flatten, SQL_DISCORD_FLATTEN),
@@ -2269,4 +2265,18 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_extractions_per_day": (q_extractions_per_day,
                                SQL_EXTRACTIONS_PER_DAY),
     "kg_attribute_outputs": (q_attribute_outputs, SQL_ATTRIBUTE_OUTPUTS),
+    # --- position > 50: driver-green in rounds 2 AND 3, rotated out
+    # so the families above get an on-record driver row ---
+    "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
+    "agg_top_users": (q_top_users, SQL_TOP_USERS),
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5_region_revenue": (q_tpch_q5, SQL_TPCH_Q5),
+    "setop_lapsed_users": (q_setop_lapsed_users, SQL_SETOP_LAPSED),
+    "agg_user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
+    "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
+    "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
 }
