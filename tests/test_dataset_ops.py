@@ -186,6 +186,37 @@ def test_ivf_topk_recall_gate(spark, clustered_vectors):
     assert r_more >= r_few
 
 
+def test_ivf_topk_kmeans_centroids(spark, clustered_vectors):
+    """Production parameter path: centroids TRAINED with
+    pyspark.ml.clustering.KMeans (not the deterministic stand-in)
+    passed through ivf_topk(centroids=) must clear the same >= 0.9
+    recall gate — proving the trained-centroid path end to end."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from project_discord_knowledge_graph_spark.operators.ann import (
+        ivf_topk,
+    )
+
+    feats = clustered_vectors.select(
+        "vec_id", array_to_vector(F.col("embedding").cast(
+            "array<double>")).alias("features"))
+    model = KMeans(k=20, seed=42, maxIter=10).fit(feats)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        ["vec_id", "embedding"])
+
+    q = clustered_vectors.where(F.col("vec_id") % 25 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, clustered_vectors, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(q, clustered_vectors, k=5, n_cells=20,
+                                nprobe=5, centroids=cents).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
 def test_minhash_lsh_recall_gate(spark):
     """Banded MinHash-LSH must find >= 0.9 of true near-duplicate
     pairs on a deterministic perturbed-copy corpus."""

@@ -70,3 +70,70 @@ def test_crash_resume_idempotent(spark, corpus_path, tmp_path_factory):
     agg_rows = lineage.where(F.col("stage") == "aggregate").collect()
     assert len(agg_rows) >= 2  # r2 and r3 both ran the global stage
     assert all(r.triples_out == r2["triples_out"] for r in agg_rows)
+
+
+def test_resume_after_midstage_failure(spark, corpus_path,
+                                       tmp_path_factory, monkeypatch):
+    """Crash-resume EQUIVALENCE under an injected failure (not the
+    cooperative max_buckets stop): the run dies at the worst point of
+    stage 1 — message partitions already written, lineage commit not
+    yet appended — so the staged parquet holds orphaned data for the
+    crashed buckets.  The re-run must treat exactly those buckets as
+    pending (the commit unit is the lineage row, not the data file),
+    overwrite the orphans without duplication, and produce the same
+    triple set as a never-crashed run."""
+    from project_discord_knowledge_graph_spark.plans import (
+        lineage as lineage_mod,
+    )
+
+    base = tmp_path_factory.mktemp("crash")
+    out, lin = str(base / "out"), str(base / "lineage")
+
+    # leg 1 (healthy): 3 of 8 buckets commit
+    r1 = run_resumable(spark, corpus_path, out, lin, n_buckets=8,
+                       max_buckets=3)
+    assert completed_buckets(spark, lin, "messages") == {0, 1, 2}
+
+    # leg 2: crash AFTER the stage-1 parquet write, BEFORE the
+    # lineage append — data for buckets 3..7 lands, no commit row
+    real_append = lineage_mod._append_lineage
+
+    def crash_on_messages(spark_, path, rows):
+        rows_l = rows if isinstance(rows, list) else [rows]
+        if any(r.get("stage") == "messages" for r in rows_l):
+            raise RuntimeError("injected crash before lineage commit")
+        return real_append(spark_, path, rows)
+
+    monkeypatch.setattr(lineage_mod, "_append_lineage",
+                        crash_on_messages)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_resumable(spark, corpus_path, out, lin, n_buckets=8)
+    monkeypatch.setattr(lineage_mod, "_append_lineage", real_append)
+
+    # the orphaned write happened, but nothing new committed
+    assert completed_buckets(spark, lin, "messages") == {0, 1, 2}
+    staged = spark.read.parquet(f"{out}/messages")
+    assert {r.bucket for r in
+            staged.select("bucket").distinct().collect()} == set(range(8))
+
+    # leg 3 (healthy resume): EXACTLY the 5 uncommitted buckets
+    # recompute; the staged orphans are overwritten, not duplicated
+    r3 = run_resumable(spark, corpus_path, out, lin, n_buckets=8,
+                       run_id=r1["run_id"] + "r")
+    assert r3["processed"] == 5 and r3["skipped"] == 3
+    assert r3["pending_buckets"] == 0
+
+    # equivalence with a clean never-crashed run
+    want = build_triples(spark.read.parquet(corpus_path))
+    got = spark.read.parquet(f"{out}/triples")
+    assert _spo(got) == _spo(want)
+    assert got.count() == want.count()  # no dup rows from orphans
+
+    # lineage holds one completed messages-row per bucket (the crashed
+    # attempt left none), and the aggregate rows_in matches the staged
+    # message count
+    lineage = spark.read.parquet(lin)
+    per_bucket = (lineage.where(F.col("stage") == "messages")
+                  .groupBy("bucket").count().collect())
+    assert len(per_bucket) == 8
+    assert all(r["count"] == 1 for r in per_bucket)
