@@ -82,12 +82,39 @@ def stream_discord_exports(spark: SparkSession, path: str,
 
 def streaming_export_triples(messages_stream: DataFrame, out_path: str,
                              checkpoint: str,
-                             available_now: bool = True):
+                             available_now: bool = True,
+                             cross_batch_dedup: bool = False):
     """Flattened export-message stream -> triples, exactly-once per
     micro-batch (classify + extract + link + dedup inside
-    foreachBatch, same as the pages path)."""
+    foreachBatch, same as the pages path).
+
+    Dedup scope contract:
+
+    - default (cross_batch_dedup=False): the reference's A8 keep-first
+      dedup applies WITHIN each micro-batch — one export file = one
+      batch = one dedup scope, the reference's own per-export-run
+      behavior.  A triple re-extracted in a later batch lands again.
+    - cross_batch_dedup=True: A8 extended across the stream as a
+      MERGE-style sink — each batch's triples anti-join on the
+      normalized (s,p,o) dedup key (nodes.py:660) against the keys
+      already in the sink, then APPEND.  Keep-first becomes
+      arrival-order-first across batches (the A8 priority order still
+      breaks ties within a batch).  The same anti-join makes a
+      REPLAYED batch idempotent: rows a failed attempt already landed
+      are filtered on retry, so at-least-once foreachBatch delivery
+      still yields exactly-once sink contents.
+
+      Scale shape: only the key column is read back from the sink
+      (parquet column pruning), distinct'd, and hash-joined; on a
+      100 TB deployment this sink is an Iceberg table keyed/bucketed
+      by _key and the anti-join+append pair collapses into
+      MERGE INTO ... WHEN NOT MATCHED THEN INSERT with bucket
+      pruning (sources/catalog.py carries the table DDL shape).
+    """
+    from pyspark.errors import AnalysisException
+
     from ..operators.classify import with_type
-    from ..operators.dedup import aggregate_triples
+    from ..operators.dedup import aggregate_triples, dedup_key
     from ..operators.extract import extract_triples
     from ..operators.link import link_qa
 
@@ -97,8 +124,22 @@ def streaming_export_triples(messages_stream: DataFrame, out_path: str,
                        "dynamic")
         msgs = with_type(batch_df)
         triples = aggregate_triples(extract_triples(msgs), link_qa(msgs))
+        if not cross_batch_dedup:
+            (triples.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(out_path))
+            return
+        key = dedup_key(F.col("subject"), F.col("predicate"),
+                        F.col("object"))
+        triples = triples.withColumn("_key", key)
+        try:
+            seen = (spark.read.parquet(out_path)
+                    .select("_key").distinct())
+            triples = triples.join(seen, "_key", "left_anti")
+        except AnalysisException:
+            pass  # first batch: sink does not exist yet
         (triples.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id")
+         .write.mode("append").partitionBy("batch_id")
          .parquet(out_path))
 
     writer = (messages_stream.writeStream

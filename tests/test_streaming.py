@@ -426,3 +426,79 @@ def test_stateful_linker_mixed_naive_aware_stamps(
     got = {(r.subject, r.object, r.confidence)
            for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_streaming_cross_batch_dedup(spark, tmp_path_factory):
+    """MERGE-style sink: a triple re-extracted in a LATER batch (same
+    normalized s|p|o key) must not land twice; a genuinely new triple
+    in the same batch must.  And replaying the whole stream (fresh
+    checkpoint over the same landing folder) must leave the sink
+    unchanged — the anti-join makes at-least-once delivery idempotent.
+    Default mode keeps the reference's per-batch dedup scope, so the
+    duplicate DOES land there (contract check)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stream_discord_exports, streaming_export_triples,
+    )
+
+    base = tmp_path_factory.mktemp("xbatch_dedup")
+    land = base / "landing"
+    land.mkdir()
+    alert = "alert: fomc meeting starts in 1 hour"
+
+    def export(msgs):
+        return _json.dumps({
+            "channel": {"id": "c", "name": "alerts"},
+            "messages": [
+                {"id": mid, "timestamp": ts, "content": text,
+                 "author": {"id": aid, "name": author}}
+                for mid, ts, author, aid, text in msgs]})
+
+    (land / "e1.json").write_text(export([
+        ("m1", "2024-01-02T03:00:00Z", "Alice", "a1", alert)]))
+    # batch 2: m2 re-produces Alice's IDENTICAL alert (same s|p|o);
+    # m3 is a new alert from Bob
+    (land / "e2.json").write_text(export([
+        ("m2", "2024-01-02T05:00:00Z", "Alice", "a1", alert),
+        ("m3", "2024-01-02T05:01:00Z", "Bob", "b1",
+         "alert: cpi print due tomorrow morning")]))
+    _os.utime(land / "e1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(land / "e2.json", (1_700_000_100, 1_700_000_100))
+
+    def drain(out, ckpt, **kw):
+        msgs = stream_discord_exports(spark, str(land),
+                                      max_files_per_trigger=1)
+        q = streaming_export_triples(msgs, out, ckpt, **kw)
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # merged sink: each key exactly once, Alice's re-extraction pinned
+    # to the batch that saw it first
+    out, ckpt = str(base / "merged"), str(base / "ckpt")
+    got = drain(out, ckpt, cross_batch_dedup=True)
+    per_key = {r._key: (r.n, r.first_b) for r in
+               got.groupBy("_key").agg(
+                   F.count("*").alias("n"),
+                   F.min("batch_id").alias("first_b")).collect()}
+    assert all(n == 1 for n, _ in per_key.values()), per_key
+    alice_keys = [k for k in per_key if "alice" in k or "a1" in k]
+    assert alice_keys, list(per_key)
+    assert all(per_key[k][1] == 0 for k in alice_keys)
+    assert any(per_key[k][1] == 1 for k in per_key)  # Bob's landed
+
+    # replay from scratch (fresh checkpoint, same sink): no growth
+    before = sorted(r._key for r in got.select("_key").collect())
+    _shutil.rmtree(ckpt)
+    got2 = drain(out, ckpt + "2", cross_batch_dedup=True)
+    after = sorted(r._key for r in got2.select("_key").collect())
+    assert after == before
+
+    # default mode documents the per-batch scope: the cross-batch
+    # duplicate lands once per batch that extracted it
+    got_def = drain(str(base / "plain"), str(base / "ckpt_plain"))
+    spo = [(r.subject, r.predicate, r.object)
+           for r in got_def.collect()]
+    assert any(spo.count(t) == 2 for t in set(spo)), spo
