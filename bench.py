@@ -332,6 +332,67 @@ def streaming_run(sf_dir: str) -> dict:
         spark.stop()
 
 
+def graph_run(sf_dir: str) -> dict:
+    """North-star graph path end-to-end: sf-sized triple set ->
+    entity linking (mention universe -> MinHash-LSH blocking -> exact
+    trigram re-score -> connected components) -> canonical nodes/edges
+    materialized to parquet.  Reports the wall time of the graph
+    stage alone (triple construction is the headline bench's number),
+    the CC rounds (the scale signal: ~log2 of component diameter),
+    and the graph's size."""
+    import shutil
+
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        link_entities,
+    )
+    from project_discord_knowledge_graph_spark.operators.graph import (
+        build_edges, build_nodes, write_graph,
+    )
+    from project_discord_knowledge_graph_spark.plans.pipeline import (
+        build_triples_from_path,
+    )
+    from project_discord_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench-graph", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    base = f"{shm}/kg_bench_graph_{os.getpid()}"
+    try:
+        pages_path, n_pages = ensure_pages(spark, sf_dir)
+        # materialize triples once (the two graph consumers — mention
+        # extraction and edge rekeying — each scan them; staged
+        # parquet is the production hand-off shape)
+        t0 = time.perf_counter()
+        build_triples_from_path(
+            spark, pages_path,
+            stage_dir=f"{base}/stage").write.mode(
+            "overwrite").parquet(f"{base}/triples")
+        triples = spark.read.parquet(f"{base}/triples")
+        n_triples = triples.count()
+        t_triples = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        cmap, stats = link_entities(triples, return_stats=True)
+        cmap = cmap.persist()
+        nodes = build_nodes(cmap)
+        edges = build_edges(triples, cmap)
+        write_graph(nodes, edges, f"{base}/graph")
+        n_nodes = spark.read.parquet(f"{base}/graph/nodes").count()
+        n_edges = spark.read.parquet(f"{base}/graph/edges").count()
+        wall = round(time.perf_counter() - t0, 3)
+        return {"metric": "kg_graph_materialize", "value": wall,
+                "unit": "sec", "sf": sf_dir, "n_pages": n_pages,
+                "n_triples": n_triples, "triples_build_sec": t_triples,
+                "cc_rounds": stats["rounds"],
+                "cc_converged": stats["converged"],
+                "n_nodes": n_nodes, "n_edges": n_edges,
+                "triples_per_sec": round(n_triples / wall, 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 def scaling_run(sf_dir: str) -> dict:
     """Run bench at N and 4N cores in fresh subprocesses (fresh JVMs);
     N defaults to SPARK_GRAFT_SCALING_N=2.
@@ -439,12 +500,16 @@ def main() -> None:
                     help="deep-graph connected-components rounds bench")
     ap.add_argument("--streaming", action="store_true",
                     help="stateful cross-batch linker throughput")
+    ap.add_argument("--graph", action="store_true",
+                    help="entity-link + nodes/edges materialize bench")
     ap.add_argument("--json-only", action="store_true",
                     help="suppress everything except the final JSON line")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
     if args.cc:
         print(json.dumps(cc_deep_run()))
+    elif args.graph:
+        print(json.dumps(graph_run(sf_dir)))
     elif args.streaming:
         print(json.dumps(streaming_run(sf_dir)))
     elif args.scaling:

@@ -146,24 +146,31 @@ def score_pairs(pairs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
                     F.round("jaccard", 6).alias("jaccard")))
 
 
-def canonicalize(mentions: DataFrame, linked_pairs: DataFrame) -> DataFrame:
+def canonicalize(mentions: DataFrame, linked_pairs: DataFrame,
+                 return_stats: bool = False):
     """mention table + similar pairs -> (mention, canonical_id).
 
     canonical_id = lexicographically smallest member of the mention's
-    connected component; singletons map to themselves.
+    connected component; singletons map to themselves.  With
+    return_stats, also returns the CC convergence stats (rounds — the
+    scale-relevant number, ~log2 of the largest component diameter).
     """
-    comp = connected_components(linked_pairs, "mention_a", "mention_b")
-    return (mentions.join(comp, mentions.mention == comp.node, "left")
-            .select("mention", "n_occurrences",
-                    F.coalesce("component", "mention")
-                     .alias("canonical_id")))
+    out = connected_components(linked_pairs, "mention_a", "mention_b",
+                               return_stats=return_stats)
+    comp, stats = out if return_stats else (out, None)
+    mapped = (mentions.join(comp, mentions.mention == comp.node, "left")
+              .select("mention", "n_occurrences",
+                      F.coalesce("component", "mention")
+                       .alias("canonical_id")))
+    return (mapped, stats) if return_stats else mapped
 
 
 def link_entities(triples: DataFrame, n: int = 3,
-                  jaccard_threshold: float = 0.5) -> DataFrame:
+                  jaccard_threshold: float = 0.5,
+                  return_stats: bool = False):
     """Full entity-linking pass: triples -> mention->canonical map."""
     mentions = extract_mentions(triples)
     cands = lsh_candidate_pairs(mentions, n,
                                 jaccard_distance=1.0 - jaccard_threshold + 0.2)
     scored = score_pairs(cands, min_jaccard=jaccard_threshold)
-    return canonicalize(mentions, scored)
+    return canonicalize(mentions, scored, return_stats=return_stats)
