@@ -115,3 +115,74 @@ def test_mention_link_join_is_hash_equi(spark, pages_path):
     plan = _plan(link_by_mentions(q, a))
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_aqe_skew_join_fires_on_head_link_key(spark):
+    """Skew evidence for the north rule's head-entity worry: under a
+    head (mention author, segment) key — one key holding ~87% of the
+    exploded mention rows — the session's AQE skew-join config
+    actually SPLITS the skewed partition of the J2 link join
+    (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed' in the
+    EXECUTED adaptive plan, not the static one).  Thresholds are
+    lowered to make the toy corpus cross the skew bar; the plan
+    mechanics are identical at production sizes with the defaults."""
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_mentions,
+    )
+
+    tweaked = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    saved = {}
+    for k, v in tweaked.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        head = spark.range(20000).select(
+            F.concat(F.lit("a"), "id").alias("a_id"),
+            F.lit("s0").alias("a_segment"),
+            F.lit("2024-01-02T03:05:00").alias("a_ts"),
+            F.lit("2024-01-02T03:05:00").alias("a_tstamp"),
+            F.lit(None).cast("string").alias("reply_to"),
+            F.array(F.lit("alice")).alias("mentions"))
+        tail = spark.range(3000).select(
+            F.concat(F.lit("t"), "id").alias("a_id"),
+            F.concat(F.lit("s"), (F.col("id") % 30 + 1)).alias(
+                "a_segment"),
+            F.lit("2024-01-02T03:05:00").alias("a_ts"),
+            F.lit("2024-01-02T03:05:00").alias("a_tstamp"),
+            F.lit(None).cast("string").alias("reply_to"),
+            F.array(F.concat(F.lit("u"), F.col("id") % 97)).alias(
+                "mentions"))
+        questions = spark.range(10).select(
+            F.concat(F.lit("q"), "id").alias("q_id"),
+            F.lit("alice").alias("q_author"),
+            F.lit("s0").alias("q_segment"),
+            F.lit("2024-01-02T03:00:00").alias("q_ts"),
+            F.lit("2024-01-02T03:00:00").alias("q_tstamp")
+        ).unionByName(spark.range(97).select(
+            F.concat(F.lit("qu"), "id").alias("q_id"),
+            F.concat(F.lit("u"), "id").alias("q_author"),
+            F.concat(F.lit("s"), (F.col("id") % 30 + 1)).alias(
+                "q_segment"),
+            F.lit("2024-01-02T03:00:00").alias("q_ts"),
+            F.lit("2024-01-02T03:00:00").alias("q_tstamp")))
+        links = link_by_mentions(questions,
+                                 head.unionByName(tail))
+        n = len(links.collect())
+        assert n == 200_187  # 20000*10 head + 97*~31 tail matches
+        plan = links._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
