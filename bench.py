@@ -223,6 +223,16 @@ def single_run(cores: int, sf_dir: str) -> dict:
         pages_path, n_pages = ensure_pages(spark, sf_dir)
         res = run_queries(spark, sf_dir, pages_path)
         total = round(sum(res["queries"].values()), 3)
+        # north-star graph stage on the per-round record as separate
+        # top-level fields — NOT inside `queries`, so the summed e2e
+        # `value` stays comparable across rounds
+        graph = {}
+        if not os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY"):
+            g = _graph_stage(spark, pages_path)
+            graph = {"graph_wall_sec": g["graph_wall_sec"],
+                     "graph_cc_rounds": g["cc_rounds"],
+                     "graph_nodes": g["n_nodes"],
+                     "graph_edges": g["n_edges"]}
         return {
             "metric": "kg_pipeline_e2e",
             "value": total,
@@ -238,6 +248,7 @@ def single_run(cores: int, sf_dir: str) -> dict:
             "export_msgs_per_sec": round(
                 res["export_msgs"] / res["queries"]["kg_pipeline_export"],
                 1) if res.get("export_msgs") else None,
+            **graph,
             "queries": res["queries"],
         }
     finally:
@@ -332,14 +343,13 @@ def streaming_run(sf_dir: str) -> dict:
         spark.stop()
 
 
-def graph_run(sf_dir: str) -> dict:
-    """North-star graph path end-to-end: sf-sized triple set ->
+def _graph_stage(spark, pages_path: str) -> dict:
+    """North-star graph stage over a freshly built triple set:
     entity linking (mention universe -> MinHash-LSH blocking -> exact
     trigram re-score -> connected components) -> canonical nodes/edges
-    materialized to parquet.  Reports the wall time of the graph
-    stage alone (triple construction is the headline bench's number),
-    the CC rounds (the scale signal: ~log2 of component diameter),
-    and the graph's size."""
+    materialized to parquet.  Returns wall time of the graph stage
+    alone (triple construction reported separately), the CC rounds
+    (the scale signal: ~log2 of component diameter), and sizes."""
     import shutil
 
     from project_discord_knowledge_graph_spark.operators.entity import (
@@ -351,15 +361,10 @@ def graph_run(sf_dir: str) -> dict:
     from project_discord_knowledge_graph_spark.plans.pipeline import (
         build_triples_from_path,
     )
-    from project_discord_knowledge_graph_spark.session import get_spark
 
-    spark = get_spark("bench-graph", master="local[32]",
-                      shuffle_partitions=32)
-    spark.sparkContext.setLogLevel("ERROR")
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     base = f"{shm}/kg_bench_graph_{os.getpid()}"
     try:
-        pages_path, n_pages = ensure_pages(spark, sf_dir)
         # materialize triples once (the two graph consumers — mention
         # extraction and edge rekeying — each scan them; staged
         # parquet is the production hand-off shape)
@@ -381,15 +386,29 @@ def graph_run(sf_dir: str) -> dict:
         n_nodes = spark.read.parquet(f"{base}/graph/nodes").count()
         n_edges = spark.read.parquet(f"{base}/graph/edges").count()
         wall = round(time.perf_counter() - t0, 3)
-        return {"metric": "kg_graph_materialize", "value": wall,
-                "unit": "sec", "sf": sf_dir, "n_pages": n_pages,
-                "n_triples": n_triples, "triples_build_sec": t_triples,
-                "cc_rounds": stats["rounds"],
+        cmap.unpersist()
+        return {"n_triples": n_triples, "triples_build_sec": t_triples,
+                "graph_wall_sec": wall, "cc_rounds": stats["rounds"],
                 "cc_converged": stats["converged"],
                 "n_nodes": n_nodes, "n_edges": n_edges,
                 "triples_per_sec": round(n_triples / wall, 1)}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def graph_run(sf_dir: str) -> dict:
+    from project_discord_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("bench-graph", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        pages_path, n_pages = ensure_pages(spark, sf_dir)
+        g = _graph_stage(spark, pages_path)
+        return {"metric": "kg_graph_materialize",
+                "value": g["graph_wall_sec"], "unit": "sec",
+                "sf": sf_dir, "n_pages": n_pages, **g}
+    finally:
         spark.stop()
 
 
