@@ -2179,6 +2179,38 @@ SELECT CAST(ats AS DATE) AS date, count(*) AS extractions
 FROM links WHERE CAST(object AS BIGINT) % 13 <> 0 GROUP BY 1"""
 
 
+def q_llm_cost_estimate(spark, sf_dir):
+    """Dry-run cost estimation grid (test_llm_extraction.py:18-114:
+    the no-API-key estimate per provider x batch size) over the
+    documents-derived message corpus."""
+    from .plans.llm_metrics import estimate_llm_cost
+    return estimate_llm_cost(docs_messages(spark, sf_dir))
+
+
+SQL_LLM_COST_ESTIMATE = f"""
+WITH {docs_msgs_sql()},
+stats AS (SELECT count(*) AS n_messages,
+                 count(DISTINCT segment_id) AS n_segments,
+                 CAST(sum(length(clean_text)) // 4 AS BIGINT)
+                   AS est_tokens
+          FROM dmsgs),
+grp AS (SELECT segment_id, type, count(*) AS n
+        FROM dmsgs GROUP BY 1, 2),
+bs AS (SELECT * FROM (VALUES (CAST(10 AS BIGINT)), (20), (50))
+       AS t(batch_size)),
+reqs AS (SELECT batch_size,
+                CAST(sum((n + batch_size - 1) // batch_size) AS BIGINT)
+                  AS est_requests
+         FROM grp CROSS JOIN bs GROUP BY 1),
+pr AS (SELECT * FROM (VALUES ('openai', 0.0035), ('claude', 0.0015))
+       AS t(provider, rate_per_1k))
+SELECT provider, batch_size, n_messages, n_segments, est_tokens,
+       est_requests,
+       round((est_tokens * rate_per_1k / 1000) * 1.5, 6)
+         AS est_cost_usd
+FROM reqs CROSS JOIN pr CROSS JOIN stats"""
+
+
 def q_llm_efficiency_stats(spark, sf_dir):
     from .plans.llm_metrics import efficiency_stats
     return efficiency_stats(llm_calls_df(spark, sf_dir))
@@ -2279,4 +2311,5 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
     "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    "llm_cost_estimate": (q_llm_cost_estimate, SQL_LLM_COST_ESTIMATE),
 }

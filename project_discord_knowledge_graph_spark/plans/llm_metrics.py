@@ -158,3 +158,54 @@ def efficiency_stats(calls: DataFrame) -> DataFrame:
         F.round(F.avg("triples_count"), 6).alias("avg_triples"),
         F.count("*").alias("n_calls"),
     )
+
+
+# (provider, combined input+output $ per 1K tokens) — the dry-run
+# estimator's hardcoded menu (test_llm_extraction.py:55-61)
+COST_PER_1K = (("openai", 0.0035), ("claude", 0.0015))
+
+
+def estimate_llm_cost(messages: DataFrame,
+                      batch_sizes: tuple[int, ...] = (10, 20, 50),
+                      providers=COST_PER_1K) -> DataFrame:
+    """Prospective DRY-RUN cost estimator — the reference's
+    estimate-before-you-spend tool (test_llm_extraction.py:18-75),
+    no API calls:
+
+    - est_tokens = total clean_text chars // 4 (the deliberately
+      crude 4-chars/token figure of :37 — distinct from the runtime
+      batcher's max(chars/3.5, words*1.3) heuristic in
+      operators/llm_extract.py, which the reference also keeps
+      separate);
+    - est_requests = sum over (segment, type) groups of
+      ceil(group_size / batch_size) — the segment+type batching the
+      real extractor performs (:39-52);
+    - est_cost_usd = est_tokens * rate/1K * 1.5 safety margin (:63).
+
+    One row per (provider, batch_size).  Plan shape: one global agg +
+    one map-side-combinable (segment, type) count, then joins against
+    two literal menus — no per-row Python, one shuffle.
+    """
+    spark = messages.sparkSession
+    stats = (messages.agg(
+        F.count("*").alias("n_messages"),
+        F.countDistinct("segment_id").alias("n_segments"),
+        F.expr("div(sum(length(clean_text)), 4)")  # exact integer //
+        .alias("est_tokens")))
+    grp = (messages.groupBy("segment_id", "type")
+           .agg(F.count("*").alias("n")))
+    bs = spark.createDataFrame([(int(b),) for b in batch_sizes],
+                               "batch_size long")
+    reqs = (grp.crossJoin(F.broadcast(bs))
+            .groupBy("batch_size")
+            .agg(F.sum(F.expr("div(n + batch_size - 1, batch_size)"))
+                 .alias("est_requests")))
+    pr = spark.createDataFrame(list(providers),
+                               "provider string, rate_per_1k double")
+    return (reqs.crossJoin(F.broadcast(pr))
+            .crossJoin(F.broadcast(stats))
+            .select("provider", "batch_size", "n_messages",
+                    "n_segments", "est_tokens", "est_requests",
+                    F.round((F.col("est_tokens")
+                             * F.col("rate_per_1k") / F.lit(1000))
+                            * F.lit(1.5), 6).alias("est_cost_usd")))
