@@ -231,6 +231,7 @@ def single_run(cores: int, sf_dir: str) -> dict:
             g = _graph_stage(spark, pages_path)
             graph = {"graph_wall_sec": g["graph_wall_sec"],
                      "graph_cc_rounds": g["cc_rounds"],
+                     "graph_cc_converged": g["cc_converged"],
                      "graph_nodes": g["n_nodes"],
                      "graph_edges": g["n_edges"]}
         return {
@@ -333,8 +334,10 @@ def streaming_run(sf_dir: str) -> dict:
                "unit": "sec", "sf": sf_dir, "n_msgs": n_msgs,
                "links": links, "drain_sec": drain,
                "setup_sec": round(wall - drain, 3),
+               # a timed-out drain processed only part of n_msgs —
+               # n_msgs/drain would overstate throughput, so no rate
                "msgs_per_sec": round(n_msgs / drain, 1)
-               if drain else None}
+               if drain and terminated else None}
         if not terminated:
             out["timed_out"] = True
         return out
@@ -464,6 +467,10 @@ def scaling_run(sf_dir: str, reps: int = 1) -> dict:
                                        len(per_rep) // 2 + 1]) / 2, 3)
     best_leg = round((min(t_ns) / min(t_4ns)) / 4, 3)
     out = {n_small: legs[n_small][-1], n_big: legs[n_big][-1]}
+    # throughput_n/4n are derived from the SAME best legs as
+    # t_n_sec/t_4n_sec (triples count is identical across legs), so
+    # the reported seconds and rates are mutually consistent
+    n_triples = out[n_small]["triples"]
     report = {
         "metric": f"scaling_efficiency_{n_small}_to_{n_big}",
         "value": best_leg if reps > 1 else per_rep[0],
@@ -471,8 +478,8 @@ def scaling_run(sf_dir: str, reps: int = 1) -> dict:
         "sf": sf_dir,
         "n_small": n_small,
         "n_big": n_big,
-        "throughput_n": out[n_small]["triples_per_sec"],
-        "throughput_4n": out[n_big]["triples_per_sec"],
+        "throughput_n": round(n_triples / min(t_ns), 1),
+        "throughput_4n": round(n_triples / min(t_4ns), 1),
         "t_n_sec": min(t_ns),
         "t_4n_sec": min(t_4ns),
         "reps": max(reps, 1),

@@ -500,14 +500,18 @@ def q_classify_zero_shot(spark, sf_dir):
 _ZS_LABEL_CASE = " ".join(
     f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(_ZS_LABELS))
 
-# The empty-default predicate mirrors the UDF exactly (classify.py:
-# _predict): NULL text is fillna('')-defaulted and whitespace-only text
-# is .str.strip()-defaulted, matching the reference's text.strip() check
+# The empty-default predicate mirrors the UDF (classify.py:_predict):
+# NULL text is fillna('')-defaulted and whitespace-only text is
+# .str.strip()-defaulted, matching the reference's text.strip() check
 # (classifier.py:126) — so the oracle defaults on NULL and
-# whitespace-only too, not just t = ''.  regexp_replace-all-\s = ''
-# is whitespace-only-or-empty in one predicate (trim() alone would
-# miss tabs/newlines).
-_ZS_EMPTY = r"(t IS NULL OR regexp_replace(t, '\s', '', 'g') = '')"
+# whitespace-only too, not just t = ''.  The RE2 class reproduces
+# Python str.isspace() (verified char-by-char): \s covers ASCII
+# minus vertical tab, \x0b adds it, \p{Z} covers every Unicode
+# separator (NBSP, en/em spaces, line/para separators), \x85 NEL and
+# \x1c-\x1f the file/group/record/unit separators.
+_ZS_EMPTY = (r"(t IS NULL OR "
+             r"regexp_replace(t, '[\s\x0b\p{Z}\x85\x1c-\x1f]', "
+             r"'', 'g') = '')")
 
 SQL_CLASSIFY_ZERO_SHOT = f"""
 WITH {docs_msgs_sql()},

@@ -180,14 +180,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
     Output: (query_id, neighbor_id, rank, sim)."""
     cents = centroids if centroids is not None else \
         corpus.where(F.col(id_col) < n_cells)
-    # persist the (tiny, <= n_cells rows) centroid projection: it is
+    # Localize the centroid set on the driver and rebuild it as a
+    # local relation: centroids are a MODEL artifact (<= n_cells
+    # rows, the IVF coarse quantizer), not a dataset.  The frame is
     # broadcast twice — corpus assignment and query probing — and
-    # without the persist each broadcast rebuilds the subframe (two
-    # corpus scans for the default stand-in; plan-verified: two
-    # BroadcastExchanges, no ReusedExchange)
-    cents = F.broadcast(cents.select(
-        F.col(id_col).alias("cell"),
-        _as_double(vec_col).alias("cv")).persist())
+    # without this each broadcast re-derived the subframe from its
+    # source plan (plan-verified: two BroadcastExchanges, no
+    # ReusedExchange; a persist() instead would leak a cache entry
+    # per call, since the returned DataFrame is lazy and the
+    # function has no unpersist point).
+    cents_df = cents.select(F.col(id_col).alias("cell"),
+                            _as_double(vec_col).alias("cv"))
+    cents = F.broadcast(cents.sparkSession.createDataFrame(
+        cents_df.collect(), cents_df.schema))
 
     sim_c = F.round(cosine_expr(F.col("v"), F.col("cv")), 6)
     # nearest cell per corpus row: hash agg on the unique row id

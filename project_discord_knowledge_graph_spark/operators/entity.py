@@ -65,10 +65,10 @@ def extract_mentions(triples: DataFrame,
     """
     entity_objects = (
         triples.where(F.col("predicate").isin(*object_predicates))
-        .select(F.col("object").alias("mention")))
+        .select(F.col("object").alias("mention"), "message_id"))
     entity_subjects = (
         triples.where(~F.col("predicate").isin(*STRUCTURAL_PREDICATES))
-        .select(F.col("subject").alias("mention")))
+        .select(F.col("subject").alias("mention"), "message_id"))
     mentions = (
         entity_subjects
         .unionByName(entity_objects)
@@ -78,12 +78,16 @@ def extract_mentions(triples: DataFrame,
     # hash-derived salt, NOT rand(): result-stable either way, but a
     # rand() column recomputes differently under stage retries /
     # speculative attempts, making partial-agg sizes nondeterministic
-    # across attempts.  xxhash64 of the row's own values is free and
-    # retry-deterministic; the ("norm", "mention") pair spreads each
-    # head mention's casings across salts.
+    # across attempts.  The hash MUST include a row-varying column
+    # (message_id), not just the mention: hashing only the grouping
+    # key would give every occurrence of an identically-spelled head
+    # mention the SAME salt — one reducer again, the exact hot-spot
+    # the salt exists to break.  message_id varies per occurrence, so
+    # each head mention's rows spread across all N_SALTS partials,
+    # and identically so across retries.
     salted = (
         mentions
-        .withColumn("_salt", F.pmod(F.xxhash64("norm", "mention"),
+        .withColumn("_salt", F.pmod(F.xxhash64("norm", "message_id"),
                                     F.lit(N_SALTS)))
         .groupBy("norm", "_salt").agg(F.count("*").alias("_partial"))
     )

@@ -112,3 +112,29 @@ def test_canonicalize_and_graph(spark, mention_triples):
     e = edges.where(F.col("subject") == "bitcoins").first()
     assert e.src == "bitcoin"  # rekeyed to the canonical id
     assert edges.count() == mention_triples.count()
+
+
+def test_extract_mentions_salt_spreads_head_mention(spark):
+    """Review regression: the retry-deterministic salt must hash a
+    row-VARYING column, not just the mention — hashing only the
+    grouping key gives every occurrence of an identically-spelled
+    head mention one salt (one reducer, the hot-spot the salt exists
+    to break).  A 2000-occurrence head mention must both count
+    correctly and spread over most of the salt space."""
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        N_SALTS, extract_mentions,
+    )
+
+    triples = spark.range(2000).select(
+        F.lit("BTC").alias("subject"),
+        F.lit("asks_about").alias("predicate"),
+        F.concat(F.lit("what about entry "), "id").alias("object"),
+        F.concat(F.lit("m"), "id").alias("message_id"))
+    m = {r.mention: r.n_occurrences
+         for r in extract_mentions(triples).collect()}
+    assert m["btc"] == 2000
+    # the operator's own salt expression over this head mention
+    spread = (triples.select(
+        F.pmod(F.xxhash64(F.lit("btc"), "message_id"),
+               F.lit(N_SALTS)).alias("s")).distinct().count())
+    assert spread > N_SALTS // 2, (spread, N_SALTS)
