@@ -150,6 +150,48 @@ def streaming_export_triples(messages_stream: DataFrame, out_path: str,
     return writer.start()
 
 
+def streaming_extraction_dedup(messages_stream: DataFrame,
+                               watermark: str = "24 hours"
+                               ) -> DataFrame:
+    """Cross-batch dedup with BOUNDED state, fully Spark-native: the
+    narrow extraction path (classify + E1-E8 — no joins) runs
+    directly on the stream, then `dropDuplicatesWithinWatermark` on
+    the normalized (s,p,o) dedup key keeps the FIRST arrival of each
+    key and drops re-extractions landing within the watermark window.
+
+    The third point on the streaming-dedup trade-off line:
+    - per-batch (`streaming_export_triples` default): no cross-batch
+      state at all — the reference's per-export-run scope;
+    - MERGE sink (`cross_batch_dedup=True`): exact unbounded dedup,
+      cost = an anti-join against the sink's key column per batch;
+    - this operator: native state store bounded by EVENT TIME — a
+      duplicate later than the watermark can land again, but state
+      never grows beyond the window (the right contract when
+      re-exports arrive within a bounded lag, e.g. daily re-drops
+      of the trailing day's channel export).
+
+    Link joins (J1/J2) are excluded by construction: they need the
+    cross-batch question state that `stateful_link_qa` carries.
+    Output rows keep an `event_ts` column (the parsed message
+    timestamp) — the watermark column must survive into the sink.
+    """
+    from ..operators.classify import with_type
+    from ..operators.dedup import dedup_key
+    from ..operators.extract import extract_triples
+
+    msgs = with_type(messages_stream)
+    triples = extract_triples(msgs)
+    key = dedup_key(F.col("subject"), F.col("predicate"),
+                    F.col("object"))
+    return (triples
+            .withColumn("_key", key)
+            .withColumn("event_ts",
+                        F.try_to_timestamp(F.regexp_replace(
+                            "timestamp", "Z$", "+00:00")))
+            .withWatermark("event_ts", watermark)
+            .dropDuplicatesWithinWatermark(["_key"]))
+
+
 def hourly_type_counts(pages_stream: DataFrame,
                        watermark: str = "2 hours") -> DataFrame:
     """W4 hour buckets as a streaming windowed aggregate: counts of

@@ -502,3 +502,63 @@ def test_streaming_cross_batch_dedup(spark, tmp_path_factory):
     spo = [(r.subject, r.predicate, r.object)
            for r in got_def.collect()]
     assert any(spo.count(t) == 2 for t in set(spo)), spo
+
+
+def test_streaming_extraction_dedup_watermark_state(
+        spark, tmp_path_factory):
+    """Native bounded-state cross-batch dedup: a triple re-extracted
+    in a LATER batch within the watermark is dropped by
+    dropDuplicatesWithinWatermark state (first arrival wins); a new
+    key in the same batch lands; state survives a checkpointed
+    restart."""
+    import json as _json
+    import os as _os
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stream_discord_exports, streaming_extraction_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("wm_dedup")
+    land = base / "landing"
+    land.mkdir()
+    alert = "alert: fomc meeting starts in 1 hour"
+
+    def export(name, msgs):
+        (land / name).write_text(_json.dumps({
+            "channel": {"id": "c", "name": "alerts"},
+            "messages": [
+                {"id": mid, "timestamp": ts, "content": text,
+                 "author": {"id": aid, "name": author}}
+                for mid, ts, author, aid, text in msgs]}))
+
+    export("e1.json", [
+        ("m1", "2024-01-02T03:00:00Z", "Alice", "a1", alert)])
+    export("e2.json", [
+        # same (s,p,o) as m1, 2h later — inside the 24h watermark
+        ("m2", "2024-01-02T05:00:00Z", "Alice", "a1", alert),
+        ("m3", "2024-01-02T05:01:00Z", "Bob", "b1",
+         "alert: cpi print due tomorrow morning")])
+    _os.utime(land / "e1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(land / "e2.json", (1_700_000_100, 1_700_000_100))
+
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    msgs = stream_discord_exports(spark, str(land),
+                                  max_files_per_trigger=1)
+    q = run_available_now(streaming_extraction_dedup(msgs), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    by_subj = {(r.subject, r.object): r.message_id
+               for r in got.collect()}
+    # alice's re-extraction was deduped to the FIRST arrival (m1);
+    # bob's new alert landed
+    assert sorted(by_subj.values()) == ["m1", "m3"]
+
+    # restart with a third file inside the watermark: still deduped
+    export("e3.json", [
+        ("m4", "2024-01-02T06:00:00Z", "Alice", "a1", alert)])
+    msgs2 = stream_discord_exports(spark, str(land))
+    q2 = run_available_now(streaming_extraction_dedup(msgs2), out, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(
+        r.message_id for r in spark.read.parquet(out).collect()
+    ) == ["m1", "m3"]
