@@ -2183,6 +2183,70 @@ SELECT CAST(ats AS DATE) AS date, count(*) AS extractions
 FROM links WHERE CAST(object AS BIGINT) % 13 <> 0 GROUP BY 1"""
 
 
+def _sql_probe_list(col: str, n: int) -> str:
+    """DuckDB replica of ann.probe_buckets_expr (Hamming-1): the
+    bucket itself plus each single-bit flip."""
+    flips = ", ".join(
+        f"substr({col}, 1, {i - 1}) || "
+        f"(CASE WHEN substr({col}, {i}, 1) = '1' THEN '0' ELSE '1' "
+        f"END) || substr({col}, {i + 1}, {n})"
+        for i in range(1, n + 1))
+    return f"[{col}, {flips}]"
+
+
+def q_link_semantic_lsh(spark, sf_dir):
+    """J3's scale path (link_by_similarity_lsh): the same precomputed-
+    vector semantic join as kg_link_semantic, additionally blocked on
+    a 4-plane hyperplane-LSH signature with Hamming-1 probing — the
+    oracle replays blocking, probing, window, and threshold, so the
+    approximation itself is pinned (both engines miss exactly the
+    same cross-bucket pairs)."""
+    from .operators.link import link_by_similarity_lsh
+    questions, answers = split_qa(events_messages(spark, sf_dir))
+    emb = _t(spark, sf_dir, "embeddings")
+    q = questions.join(
+        emb.select(F.col("vec_id").alias("_vid"),
+                   F.col("embedding").alias("q_vec")),
+        questions.q_id.cast("long") % 500 == F.col("_vid")).drop("_vid")
+    a = answers.join(
+        emb.select(F.col("vec_id").alias("_vid"),
+                   F.col("embedding").alias("a_vec")),
+        answers.a_id.cast("long") % 500 == F.col("_vid")).drop("_vid")
+    return link_by_similarity_lsh(
+        q, a, n_planes=4, dim=64, probe_hamming=1,
+        time_window_minutes=120).select(
+        "subject", "predicate", "object", "message_id", "confidence")
+
+
+SQL_LINK_SEMANTIC_LSH = f"""
+WITH {EVENTS_MSGS_SQL},
+qv AS (SELECT m.message_id, m.segment_id, m.ts,
+              CAST(e.embedding AS DOUBLE[]) AS vec,
+              {_sql_bucket_expr(4, 64, vec="e.embedding")} AS qb
+       FROM emsgs m
+       JOIN embeddings e ON CAST(m.message_id AS BIGINT) % 500 = e.vec_id
+       WHERE m.type = 'question'),
+qp AS (SELECT message_id, segment_id, ts, vec,
+              unnest({_sql_probe_list("qb", 4)}) AS bucket
+       FROM qv),
+av AS (SELECT m.message_id, m.segment_id, m.ts,
+              CAST(e.embedding AS DOUBLE[]) AS vec,
+              {_sql_bucket_expr(4, 64, vec="e.embedding")} AS bucket
+       FROM emsgs m
+       JOIN embeddings e ON CAST(m.message_id AS BIGINT) % 500 = e.vec_id
+       WHERE m.type = 'answer'),
+pairs AS (
+  SELECT q.message_id AS q_id, a.message_id AS a_id,
+         round(list_cosine_similarity(q.vec, a.vec), 6) AS sim
+  FROM av a JOIN qp q
+    ON a.bucket = q.bucket AND a.segment_id = q.segment_id
+  WHERE epoch_us(a.ts) - epoch_us(q.ts)
+        BETWEEN 0 AND CAST(7200000000 AS BIGINT))
+SELECT q_id AS subject, 'answered_by' AS predicate, a_id AS object,
+       q_id || '_semantic_' || a_id AS message_id, sim AS confidence
+FROM pairs WHERE sim > 0.3"""
+
+
 def q_llm_cost_estimate(spark, sf_dir):
     """Dry-run cost estimation grid (test_llm_extraction.py:18-114:
     the no-API-key estimate per provider x batch size) over the
@@ -2316,4 +2380,6 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
     "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "llm_cost_estimate": (q_llm_cost_estimate, SQL_LLM_COST_ESTIMATE),
+    "kg_link_semantic_lsh": (q_link_semantic_lsh,
+                             SQL_LINK_SEMANTIC_LSH),
 }

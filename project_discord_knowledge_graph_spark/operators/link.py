@@ -165,6 +165,68 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
                   C.STAGE_PRIORITY_LINK_SEMANTIC)
 
 
+def link_by_similarity_lsh(questions: DataFrame, answers: DataFrame,
+                           n_planes: int = 4, dim: int = 64,
+                           probe_hamming: int = 1,
+                           time_window_minutes: int =
+                           C.QA_TIME_WINDOW_MINUTES,
+                           threshold: float = C.QA_SIMILARITY_THRESHOLD
+                           ) -> DataFrame:
+    """J3's scale path: the segment-bounded cosine join of
+    `link_by_similarity` is quadratic in segment size — fine for
+    hour-bucketed segments, not for a corpus whose segments are
+    unbounded (one giant channel, no thread structure).  This variant
+    additionally blocks on the hyperplane-LSH signature of the
+    embedding (operators/ann.py machinery reused verbatim: same
+    deterministic planes, same Hamming-1 probe expansion on the
+    question side), so candidates are (segment, bucket)-bounded.
+
+    APPROXIMATE by construction: a true pair whose vectors land in
+    buckets more than `probe_hamming` apart is missed — recall is
+    gated >= 0.9 against the exact join in tests, tuning like
+    ann.lsh_topk (fewer planes = bigger buckets = higher recall).
+    Requires precomputed q_vec/a_vec (the production shape; an
+    embed-inside-the-join UDF would re-embed per candidate).
+    Every kept pair passes the SAME exact time-window + rounded-
+    cosine-threshold predicates as the exact operator — blocking
+    only prunes candidates, never admits false positives."""
+    from .ann import cosine_expr, probe_buckets_expr, with_lsh_bucket
+
+    if "q_vec" not in questions.columns \
+            or "a_vec" not in answers.columns:
+        raise ValueError(
+            "link_by_similarity_lsh requires precomputed q_vec/a_vec "
+            "columns (embed once, store, join)")
+    q = with_lsh_bucket(
+        questions.withColumn("q_vec", F.col("q_vec").cast(
+            "array<double>")),
+        n_planes, dim, vec_col="q_vec", out_col="_qb")
+    q = (q.withColumn("_bucket",
+                      F.explode(probe_buckets_expr(
+                          "_qb", n_planes, probe_hamming)))
+         .drop("_qb"))
+    a = with_lsh_bucket(
+        answers.withColumn("a_vec", F.col("a_vec").cast(
+            "array<double>")),
+        n_planes, dim, vec_col="a_vec", out_col="_bucket")
+
+    delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
+             - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz")))
+    # an answer lives in exactly ONE bucket while question probes
+    # explode, so (q, a) pairs are produced at most once — no dedup
+    joined = (
+        a.join(q, ["_bucket"], "inner")
+        .where(F.col("a_segment") == F.col("q_segment"))
+        .where((delta <= time_window_minutes * 60 * 1_000_000)
+               & (delta >= 0))
+        .withColumn("sim", F.round(
+            cosine_expr(F.col("q_vec"), F.col("a_vec")), 6))
+        .where(F.col("sim") > threshold)
+    )
+    return _links(joined, "semantic", F.col("sim"),
+                  C.STAGE_PRIORITY_LINK_SEMANTIC)
+
+
 def prune_answer_candidates(questions: DataFrame, answers: DataFrame,
                             max_answers: int = 20) -> DataFrame:
     """J4 answer-candidate pruning (llm_powered/nodes.py:431-496),

@@ -117,3 +117,66 @@ def test_zero_shot_plumbing_with_fake_model(spark):
 
     with pytest.raises(NotImplementedError):
         classify_zero_shot(df)
+
+
+def test_semantic_linker_lsh_blocked_recall(spark):
+    """J3 scale path: the LSH-blocked semantic linker must (a) admit
+    ONLY pairs the exact segment-bounded join admits (blocking prunes,
+    never invents), (b) recover >= 0.9 of them with Hamming-1 probing
+    on a clustered embedding space, and (c) respect the segment bound
+    (identical vectors in different segments never link)."""
+    import hashlib
+    import math
+
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_similarity_lsh,
+    )
+
+    def unit(seed, dim=64):
+        v, i = [], 0
+        while len(v) < dim:
+            h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            v.extend(b / 255.0 - 0.5 for b in h)
+            i += 1
+        v = v[:dim]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q_rows, a_rows = [], []
+    for c in range(20):
+        center = unit(f"c{c}")
+        # question vector = center + small noise; its segment ALTERNATES
+        # between s0 and s1 so cross-segment leakage would be caught by
+        # comparing against the exact join (which enforces the bound)
+        seg = f"s{c % 2}"
+        qv = [x + 0.1 * y for x, y in zip(center, unit(f"qn{c}"))]
+        q_rows.append((f"q{c}", f"author{c}", seg,
+                       "2024-01-02T03:00:00", "2024-01-02T03:00:00",
+                       qv))
+        for j in range(5):
+            av = [x + 0.15 * y
+                  for x, y in zip(center, unit(f"an{c}:{j}"))]
+            a_rows.append((f"a{c}_{j}", seg, "2024-01-02T03:04:00",
+                           "2024-01-02T03:04:00", None, [], av))
+    questions = spark.createDataFrame(
+        q_rows, ("q_id string, q_author string, q_segment string, "
+                 "q_ts string, q_tstamp string, q_vec array<double>"))
+    answers = spark.createDataFrame(
+        a_rows, ("a_id string, a_segment string, a_ts string, "
+                 "a_tstamp string, reply_to string, "
+                 "mentions array<string>, a_vec array<double>"))
+
+    exact = {(r.subject, r.object)
+             for r in link_by_similarity(questions, answers).collect()}
+    approx = {(r.subject, r.object)
+              for r in link_by_similarity_lsh(
+                  questions, answers, n_planes=4, dim=64,
+                  probe_hamming=1).collect()}
+    assert len(exact) >= 50  # in-cluster pairs clear the 0.3 threshold
+    assert approx <= exact   # blocking never admits a new pair
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+
+    # requires the production precomputed-vector shape
+    with pytest.raises(ValueError, match="q_vec"):
+        link_by_similarity_lsh(questions.drop("q_vec"), answers)
