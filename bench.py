@@ -466,10 +466,12 @@ def scaling_run(sf_dir: str, reps: int = 1) -> dict:
         else round(sum(sorted(per_rep)[len(per_rep) // 2 - 1:
                                        len(per_rep) // 2 + 1]) / 2, 3)
     best_leg = round((min(t_ns) / min(t_4ns)) / 4, 3)
-    out = {n_small: legs[n_small][-1], n_big: legs[n_big][-1]}
-    # throughput_n/4n are derived from the SAME best legs as
-    # t_n_sec/t_4n_sec (triples count is identical across legs), so
-    # the reported seconds and rates are mutually consistent
+    # `runs` (and hence the generated per-phase table), t_n/4n_sec,
+    # and throughput all come from the SAME best leg per side, so
+    # every number in the report is mutually consistent; the raw
+    # legs are all in t_n_all/t_4n_all
+    out = {n_small: legs[n_small][t_ns.index(min(t_ns))],
+           n_big: legs[n_big][t_4ns.index(min(t_4ns))]}
     n_triples = out[n_small]["triples"]
     report = {
         "metric": f"scaling_efficiency_{n_small}_to_{n_big}",
@@ -534,7 +536,8 @@ def _write_bench_md(r: dict) -> None:
         "bandwidth-linear region.",
         "",
         "Reference baseline (BASELINE.md): ~100 msg/s, ~104 triples/s,",
-        f"single process.  Per-phase timings at local[{nb}]:",
+        f"single process.  Per-phase timings at local[{nb}] (best leg,",
+        "the same leg the headline table reports):",
         "",
         "| phase | sec |",
         "|---|---|",

@@ -181,18 +181,26 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
     cents = centroids if centroids is not None else \
         corpus.where(F.col(id_col) < n_cells)
     # Localize the centroid set on the driver and rebuild it as a
-    # local relation: centroids are a MODEL artifact (<= n_cells
-    # rows, the IVF coarse quantizer), not a dataset.  The frame is
-    # broadcast twice — corpus assignment and query probing — and
-    # without this each broadcast re-derived the subframe from its
-    # source plan (plan-verified: two BroadcastExchanges, no
-    # ReusedExchange; a persist() instead would leak a cache entry
-    # per call, since the returned DataFrame is lazy and the
-    # function has no unpersist point).
+    # local relation: centroids are a MODEL artifact (the IVF coarse
+    # quantizer), not a dataset.  The frame is broadcast twice —
+    # corpus assignment and query probing — and without this each
+    # broadcast re-derived the subframe from its source plan
+    # (plan-verified: two BroadcastExchanges, no ReusedExchange;
+    # a persist() instead would leak a cache entry per call, since
+    # the returned DataFrame is lazy and has no unpersist point).
+    # NOTE this makes plan construction EAGER (one small job here);
+    # the take() is bounded at n_cells+1 so an oversized caller-
+    # supplied centroid frame fails fast instead of OOMing the
+    # driver.
     cents_df = cents.select(F.col(id_col).alias("cell"),
                             _as_double(vec_col).alias("cv"))
+    rows = cents_df.take(n_cells + 1)
+    if len(rows) > n_cells:
+        raise ValueError(
+            f"centroids has more than n_cells={n_cells} rows; "
+            "pass the trained quantizer's centroid set, not a corpus")
     cents = F.broadcast(cents.sparkSession.createDataFrame(
-        cents_df.collect(), cents_df.schema))
+        rows, cents_df.schema))
 
     sim_c = F.round(cosine_expr(F.col("v"), F.col("cv")), 6)
     # nearest cell per corpus row: hash agg on the unique row id

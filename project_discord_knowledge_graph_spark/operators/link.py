@@ -144,25 +144,33 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
             "(text -> array<float>) or provide precomputed q_vec/a_vec "
             "columns")
 
-    # the ONE cosine implementation (operators/ann.py) — duplicated
-    # float-determinism arithmetic desynchronizes engines over time
-    from .ann import cosine_expr
-
-    # exact integer micros (NTZ-safe, no double rounding at the
-    # window boundary) — same arithmetic as the J2 mention join
-    delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
-             - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz")))
-
-    joined = (
-        a.join(q, (F.col("a_segment") == F.col("q_segment")), "inner")
-        .where((delta <= time_window_minutes * 60 * 1_000_000)
-               & (delta >= 0))
-        .withColumn("sim", F.round(
-            cosine_expr(F.col("q_vec"), F.col("a_vec")), 6))
-        .where(F.col("sim") > threshold)
-    )
+    joined = _semantic_window_sim(
+        a.join(q, (F.col("a_segment") == F.col("q_segment")), "inner"),
+        time_window_minutes, threshold)
     return _links(joined, "semantic", F.col("sim"),
                   C.STAGE_PRIORITY_LINK_SEMANTIC)
+
+
+def _semantic_window_sim(joined: DataFrame, time_window_minutes: int,
+                         threshold: float) -> DataFrame:
+    """The ONE J3 admission predicate — shared by the exact and the
+    LSH-blocked semantic linkers so the two paths can never drift
+    (the LSH path's prunes-never-invents guarantee and its recall
+    gate both assume identical predicates): exact integer-micros
+    window (NTZ-safe, same arithmetic as the J2 mention join), then
+    cosine (the ONE implementation in operators/ann.py — duplicated
+    float-determinism arithmetic desynchronizes engines over time)
+    rounded to 6 places BEFORE the threshold test."""
+    from .ann import cosine_expr
+
+    delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
+             - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz")))
+    return (joined
+            .where((delta <= time_window_minutes * 60 * 1_000_000)
+                   & (delta >= 0))
+            .withColumn("sim", F.round(
+                cosine_expr(F.col("q_vec"), F.col("a_vec")), 6))
+            .where(F.col("sim") > threshold))
 
 
 def link_by_similarity_lsh(questions: DataFrame, answers: DataFrame,
@@ -190,7 +198,7 @@ def link_by_similarity_lsh(questions: DataFrame, answers: DataFrame,
     Every kept pair passes the SAME exact time-window + rounded-
     cosine-threshold predicates as the exact operator — blocking
     only prunes candidates, never admits false positives."""
-    from .ann import cosine_expr, probe_buckets_expr, with_lsh_bucket
+    from .ann import probe_buckets_expr, with_lsh_bucket
 
     if "q_vec" not in questions.columns \
             or "a_vec" not in answers.columns:
@@ -210,19 +218,12 @@ def link_by_similarity_lsh(questions: DataFrame, answers: DataFrame,
             "array<double>")),
         n_planes, dim, vec_col="a_vec", out_col="_bucket")
 
-    delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
-             - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz")))
     # an answer lives in exactly ONE bucket while question probes
     # explode, so (q, a) pairs are produced at most once — no dedup
-    joined = (
+    joined = _semantic_window_sim(
         a.join(q, ["_bucket"], "inner")
-        .where(F.col("a_segment") == F.col("q_segment"))
-        .where((delta <= time_window_minutes * 60 * 1_000_000)
-               & (delta >= 0))
-        .withColumn("sim", F.round(
-            cosine_expr(F.col("q_vec"), F.col("a_vec")), 6))
-        .where(F.col("sim") > threshold)
-    )
+        .where(F.col("a_segment") == F.col("q_segment")),
+        time_window_minutes, threshold)
     return _links(joined, "semantic", F.col("sim"),
                   C.STAGE_PRIORITY_LINK_SEMANTIC)
 

@@ -170,10 +170,27 @@ def streaming_extraction_dedup(messages_stream: DataFrame,
       re-exports arrive within a bounded lag, e.g. daily re-drops
       of the trailing day's channel export).
 
+    Contract fine print (inherent to watermark semantics — pick the
+    MERGE sink when any of these bites):
+    - The deduped KEY SET is exact within the watermark, but when one
+      micro-batch holds several rows of the same key, WHICH row
+      survives is engine-arbitrary (dropDuplicatesWithinWatermark has
+      no ordering) — so the survivor's provenance fields
+      (message_id, timestamp, confidence) are not run-deterministic,
+      unlike the MERGE sink whose per-batch aggregate_triples pins
+      ties by (stage_priority, message_id, ...).
+    - A whole FILE arriving with event times older than the advanced
+      watermark is dropped entirely (new triples included), exactly
+      like late rows against any watermarked aggregate.
+    - Triples whose message timestamp does not parse carry no event
+      time; they BYPASS the dedup (kept, never deduplicated, NULL
+      event_ts) rather than being silently discarded — the same
+      quarantine-don't-drop policy as stateful_link_qa's prune.
+
     Link joins (J1/J2) are excluded by construction: they need the
     cross-batch question state that `stateful_link_qa` carries.
     Output rows keep an `event_ts` column (the parsed message
-    timestamp) — the watermark column must survive into the sink.
+    timestamp; NULL on the quarantined branch).
     """
     from ..operators.classify import with_type
     from ..operators.dedup import dedup_key
@@ -183,13 +200,17 @@ def streaming_extraction_dedup(messages_stream: DataFrame,
     triples = extract_triples(msgs)
     key = dedup_key(F.col("subject"), F.col("predicate"),
                     F.col("object"))
-    return (triples
-            .withColumn("_key", key)
-            .withColumn("event_ts",
-                        F.try_to_timestamp(F.regexp_replace(
-                            "timestamp", "Z$", "+00:00")))
-            .withWatermark("event_ts", watermark)
-            .dropDuplicatesWithinWatermark(["_key"]))
+    stamped = (triples
+               .withColumn("_key", key)
+               .withColumn("event_ts",
+                           F.try_to_timestamp(F.regexp_replace(
+                               "timestamp", "Z$", "+00:00"))))
+    deduped = (stamped
+               .where(F.col("event_ts").isNotNull())
+               .withWatermark("event_ts", watermark)
+               .dropDuplicatesWithinWatermark(["_key"]))
+    quarantined = stamped.where(F.col("event_ts").isNull())
+    return deduped.unionByName(quarantined).drop("_key")
 
 
 def hourly_type_counts(pages_stream: DataFrame,

@@ -537,7 +537,11 @@ def test_streaming_extraction_dedup_watermark_state(
         # same (s,p,o) as m1, 2h later — inside the 24h watermark
         ("m2", "2024-01-02T05:00:00Z", "Alice", "a1", alert),
         ("m3", "2024-01-02T05:01:00Z", "Bob", "b1",
-         "alert: cpi print due tomorrow morning")])
+         "alert: cpi print due tomorrow morning"),
+        # unparseable stamp: no event time -> quarantined past the
+        # dedup (kept with NULL event_ts), never silently dropped
+        ("m9", "not-a-timestamp", "Carol", "c1",
+         "alert: witching friday, expect wild prints")])
     _os.utime(land / "e1.json", (1_700_000_000, 1_700_000_000))
     _os.utime(land / "e2.json", (1_700_000_100, 1_700_000_100))
 
@@ -550,8 +554,12 @@ def test_streaming_extraction_dedup_watermark_state(
     by_subj = {(r.subject, r.object): r.message_id
                for r in got.collect()}
     # alice's re-extraction was deduped to the FIRST arrival (m1);
-    # bob's new alert landed
-    assert sorted(by_subj.values()) == ["m1", "m3"]
+    # bob's new alert landed; carol's unparseable-stamp triple was
+    # quarantined through (NULL event_ts), not dropped
+    assert sorted(by_subj.values()) == ["m1", "m3", "m9"]
+    assert "_key" not in got.columns
+    null_ts = {r.message_id: r.event_ts is None for r in got.collect()}
+    assert null_ts["m9"] and not null_ts["m1"]
 
     # restart with a third file inside the watermark: still deduped
     export("e3.json", [
@@ -561,4 +569,4 @@ def test_streaming_extraction_dedup_watermark_state(
     q2.awaitTermination(120)
     assert sorted(
         r.message_id for r in spark.read.parquet(out).collect()
-    ) == ["m1", "m3"]
+    ) == ["m1", "m3", "m9"]
