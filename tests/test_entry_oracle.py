@@ -72,3 +72,27 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert set(df.columns) == {"subject", "predicate", "object",
                                "message_id", "confidence"}
+
+
+def test_zs_empty_predicate_matches_python_isspace(duck):
+    """The zero-shot oracle's whitespace-only predicate claims
+    char-for-char agreement with pandas .str.strip() (= Python
+    str.isspace): verify over every BMP codepoint Python considers
+    whitespace, plus lookalikes Python does NOT (the predicate must
+    not over-match), plus NULL/empty/mixed cases."""
+    from project_discord_knowledge_graph_spark.entry_queries import (
+        _ZS_EMPTY,
+    )
+
+    py_ws = [chr(c) for c in range(0x10000) if chr(c).isspace()]
+    non_ws = ["​", "﻿", "a", "0", ".", "­"]  # zero-width
+    cases = ([None, "", "a b"] + py_ws + non_ws
+             + [w + "x" + w for w in py_ws[:8]]
+             + ["".join(py_ws[:10])])
+    param_sql = "SELECT " + _ZS_EMPTY \
+        .replace("t IS NULL", "? IS NULL") \
+        .replace("regexp_replace(t,", "regexp_replace(?,")
+    for t in cases:
+        got = duck.execute(param_sql, [t, t]).fetchone()[0]
+        want = t is None or t.strip() == ""
+        assert got == want, (repr(t), got, want)
