@@ -33,6 +33,21 @@ SF_DIR_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PAGES_CACHE = "/tmp/kg_bench"
 
 
+def _prov() -> dict:
+    """Machine-recorded run provenance: this host shows phantom-load
+    windows (loadavg 20+ with idle vmstat) that invalidate timings;
+    stamping loadavg + wall-clock into every artifact makes the noise
+    attribution part of the record instead of a hand-carried note."""
+    try:
+        la = os.getloadavg()
+    except OSError:
+        la = (None, None, None)
+    return {"loadavg": [round(x, 2) if x is not None else None
+                        for x in la],
+            "wallclock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())}
+
+
 def _pages_count(sf_dir: str) -> int:
     # 40x the documents table: sf0.1 -> 200_000 pages (enough real
     # work that per-task overhead amortizes and throughput reflects
@@ -238,6 +253,7 @@ def single_run(cores: int, sf_dir: str) -> dict:
             "metric": "kg_pipeline_e2e",
             "value": total,
             "unit": "sec",
+            **_prov(),
             "sf": sf_dir,
             "cores": cores,
             "n_pages": n_pages,
@@ -281,7 +297,7 @@ def cc_deep_run() -> dict:
         assert n_comp == 1 and stats["converged"], (n_comp, stats)
         return {"metric": "cc_deep_chain", "nodes": n,
                 "rounds": stats["rounds"], "value": wall,
-                "unit": "sec", "components": n_comp}
+                "unit": "sec", "components": n_comp, **_prov()}
     finally:
         spark.stop()
 
@@ -302,8 +318,15 @@ def streaming_run(sf_dir: str) -> dict:
         run_available_now, stateful_link_qa,
     )
 
+    # recentProgress retains only numRecentProgressUpdates entries
+    # (default ~100); a drain of more micro-batches would silently
+    # undercount drain time and overstate msgs/sec — raise the cap
+    # well past any plausible batch count and ASSERT it wasn't hit.
+    progress_cap = 10_000
     spark = get_spark("bench-stream", master="local[32]",
                       shuffle_partitions=32)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                   str(progress_cap))
     spark.sparkContext.setLogLevel("ERROR")
     d = tempfile.mkdtemp(prefix="kg_stream_bench_")
     try:
@@ -324,20 +347,30 @@ def streaming_run(sf_dir: str) -> dict:
         # wall minus that is checkpoint/stream setup overhead.  A
         # timed-out drain is stopped and flagged rather than reported
         # as a throughput number over a partial count.
+        progress = list(q.recentProgress or [])
+        assert len(progress) < progress_cap, (
+            f"{len(progress)} progress entries hit the retention cap "
+            f"{progress_cap}: drain_sec would undercount — raise it")
         drain = round(sum(p["durationMs"].get("triggerExecution", 0)
-                          for p in (q.recentProgress or [])) / 1000.0, 3)
+                          for p in progress) / 1000.0, 3)
         if not terminated:
             q.stop()
             q.awaitTermination(60)
-        links = spark.read.parquet(f"{d}/out").count()
+        # a timed-out run may have committed NO micro-batch at all, in
+        # which case the sink dir doesn't exist — report links=None on
+        # the flagged record instead of crashing on the read
+        links = (spark.read.parquet(f"{d}/out").count()
+                 if os.path.isdir(f"{d}/out") else None)
         out = {"metric": "stateful_link_stream", "value": wall,
                "unit": "sec", "sf": sf_dir, "n_msgs": n_msgs,
                "links": links, "drain_sec": drain,
+               "n_batches": len(progress),
                "setup_sec": round(wall - drain, 3),
                # a timed-out drain processed only part of n_msgs —
                # n_msgs/drain would overstate throughput, so no rate
                "msgs_per_sec": round(n_msgs / drain, 1)
-               if drain and terminated else None}
+               if drain and terminated else None,
+               **_prov()}
         if not terminated:
             out["timed_out"] = True
         return out
@@ -410,7 +443,7 @@ def graph_run(sf_dir: str) -> dict:
         g = _graph_stage(spark, pages_path)
         return {"metric": "kg_graph_materialize",
                 "value": g["graph_wall_sec"], "unit": "sec",
-                "sf": sf_dir, "n_pages": n_pages, **g}
+                "sf": sf_dir, "n_pages": n_pages, **g, **_prov()}
     finally:
         spark.stop()
 
@@ -493,6 +526,7 @@ def scaling_run(sf_dir: str, reps: int = 1) -> dict:
         "median_efficiency": med,
         "best_leg_efficiency": best_leg,
         "runs": out,
+        **_prov(),
     }
     _write_bench_md(report)
     return report

@@ -2301,13 +2301,13 @@ FROM lcalls GROUP BY provider, template_type"""
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the correctness driver snapshots only the FIRST
-# 50 entries, so position is coverage.  Round 4 rotates the 12 entries
-# the driver had never gated (ann_lsh_*/ann_ivf_topk/embed_flatten/
-# llm_* views/kg_extractions_per_day/kg_attribute_outputs) into the
-# top 50 and demotes 12 generic TPC-H/setop/window rows that have been
-# driver-green for two consecutive rounds; scripts/check_oracles.py
-# runs ALL entries regardless of position and commits the full
-# artifact each round.
+# 50 entries, so position is coverage.  Round 4 rotated the 12 entries
+# the driver had never gated into the top 50; round 5 rotates the two
+# remaining never-driver-gated names (llm_cost_estimate,
+# kg_link_semantic_lsh) into the top 50, demoting agg_pred_histogram
+# and win_top5_per_type (driver-green rounds 2-4).
+# scripts/check_oracles.py runs ALL entries regardless of position and
+# commits the full artifact each round.
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_classify_counts": (q_classify_counts, SQL_CLASSIFY_COUNTS),
     "kg_classify_zero_shot": (q_classify_zero_shot,
@@ -2325,10 +2325,11 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_link_replies": (q_link_replies, SQL_LINK_REPLIES),
     "kg_link_mentions": (q_link_mentions, SQL_LINK_MENTIONS),
     "kg_link_semantic": (q_link_semantic, SQL_LINK_SEMANTIC),
-    "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
+    "kg_link_semantic_lsh": (q_link_semantic_lsh,
+                             SQL_LINK_SEMANTIC_LSH),
+    "llm_cost_estimate": (q_llm_cost_estimate, SQL_LLM_COST_ESTIMATE),
     "agg_confidence_stats": (q_confidence_stats, SQL_CONFIDENCE_STATS),
     "agg_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
-    "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
     "win_session_counts": (q_session_counts, SQL_SESSION_COUNTS),
     "agg_json_props": (q_json_props, SQL_JSON_PROPS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2365,8 +2366,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_extractions_per_day": (q_extractions_per_day,
                                SQL_EXTRACTIONS_PER_DAY),
     "kg_attribute_outputs": (q_attribute_outputs, SQL_ATTRIBUTE_OUTPUTS),
-    # --- position > 50: driver-green in rounds 2 AND 3, rotated out
-    # so the families above get an on-record driver row ---
+    # --- position > 50: driver-green in consecutive rounds, rotated
+    # out so the families above get an on-record driver row ---
+    "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
+    "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
     "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
     "agg_top_users": (q_top_users, SQL_TOP_USERS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -2379,7 +2382,4 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
     "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
-    "llm_cost_estimate": (q_llm_cost_estimate, SQL_LLM_COST_ESTIMATE),
-    "kg_link_semantic_lsh": (q_link_semantic_lsh,
-                             SQL_LINK_SEMANTIC_LSH),
 }

@@ -111,12 +111,26 @@ def streaming_export_triples(messages_stream: DataFrame, out_path: str,
       MERGE INTO ... WHEN NOT MATCHED THEN INSERT with bucket
       pruning (sources/catalog.py carries the table DDL shape).
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.classify import with_type
     from ..operators.dedup import aggregate_triples, dedup_key
     from ..operators.extract import extract_triples
     from ..operators.link import link_qa
+
+    def _sink_files(spark: SparkSession) -> int:
+        """Committed data files in the sink, via the Hadoop FS API —
+        an explicit existence probe instead of a broad
+        except-AnalysisException around the read, which would equally
+        swallow a REAL analysis error (e.g. a sink previously written
+        by the per-batch mode, whose rows carry no _key) and silently
+        disable dedup for the rest of the stream."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return 0
+        glob = jvm.org.apache.hadoop.fs.Path(
+            out_path + "/batch_id=*/*.parquet")
+        return len(fs.globStatus(glob) or [])
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -132,12 +146,16 @@ def streaming_export_triples(messages_stream: DataFrame, out_path: str,
         key = dedup_key(F.col("subject"), F.col("predicate"),
                         F.col("object"))
         triples = triples.withColumn("_key", key)
-        try:
-            seen = (spark.read.parquet(out_path)
-                    .select("_key").distinct())
-            triples = triples.join(seen, "_key", "left_anti")
-        except AnalysisException:
-            pass  # first batch: sink does not exist yet
+        if _sink_files(spark) > 0:
+            sink = spark.read.parquet(out_path)
+            if "_key" not in sink.columns:
+                raise ValueError(
+                    f"cross-batch dedup sink {out_path!r} exists but "
+                    "has no _key column — it was written by a "
+                    "different mode (per-batch dedup?); refusing to "
+                    "append silently-undeduped batches")
+            triples = triples.join(sink.select("_key").distinct(),
+                                   "_key", "left_anti")
         (triples.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").partitionBy("batch_id")
          .parquet(out_path))
@@ -183,9 +201,16 @@ def streaming_extraction_dedup(messages_stream: DataFrame,
       watermark is dropped entirely (new triples included), exactly
       like late rows against any watermarked aggregate.
     - Triples whose message timestamp does not parse carry no event
-      time; they BYPASS the dedup (kept, never deduplicated, NULL
-      event_ts) rather than being silently discarded — the same
-      quarantine-don't-drop policy as stateful_link_qa's prune.
+      time; they cannot enter the watermarked dedup (no event time to
+      bound state with) and are quarantined rather than silently
+      discarded.  The quarantined branch gets its own keyed dedup via
+      plain `dropDuplicates` — duplicates of an unparseable-stamp
+      triple collapse to one row, within AND across batches — whose
+      state is UNBOUNDED by construction (no event time to expire
+      on); that is safe because it holds one entry per distinct
+      malformed-stamp key, a malformed-input surface, not the corpus.
+      Survivor choice within a batch is engine-arbitrary, same as the
+      main branch.
 
     Link joins (J1/J2) are excluded by construction: they need the
     cross-batch question state that `stateful_link_qa` carries.
@@ -209,7 +234,9 @@ def streaming_extraction_dedup(messages_stream: DataFrame,
                .where(F.col("event_ts").isNotNull())
                .withWatermark("event_ts", watermark)
                .dropDuplicatesWithinWatermark(["_key"]))
-    quarantined = stamped.where(F.col("event_ts").isNull())
+    quarantined = (stamped
+                   .where(F.col("event_ts").isNull())
+                   .dropDuplicates(["_key"]))
     return deduped.unionByName(quarantined).drop("_key")
 
 

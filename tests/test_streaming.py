@@ -570,3 +570,95 @@ def test_streaming_extraction_dedup_watermark_state(
     assert sorted(
         r.message_id for r in spark.read.parquet(out).collect()
     ) == ["m1", "m3", "m9"]
+
+
+def test_streaming_extraction_dedup_quarantine_collapses(
+        spark, tmp_path_factory):
+    """The quarantined (unparseable-stamp) branch gets its own keyed
+    dedup: duplicate unparseable-stamp triples — same normalized
+    (s,p,o), within one batch AND across batches — collapse to one
+    row instead of bypassing dedup entirely."""
+    import json as _json
+    import os as _os
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stream_discord_exports, streaming_extraction_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("quar_dedup")
+    land = base / "landing"
+    land.mkdir()
+    alert = "alert: witching friday, expect wild prints"
+
+    def export(name, msgs):
+        (land / name).write_text(_json.dumps({
+            "channel": {"id": "c", "name": "alerts"},
+            "messages": [
+                {"id": mid, "timestamp": ts, "content": text,
+                 "author": {"id": aid, "name": author}}
+                for mid, ts, author, aid, text in msgs]}))
+
+    # batch 1: TWO unparseable-stamp duplicates of Carol's alert in
+    # the SAME batch, plus one parseable control row
+    export("e1.json", [
+        ("m1", "not-a-timestamp", "Carol", "c1", alert),
+        ("m2", "also-not-a-timestamp", "Carol", "c1", alert),
+        ("m3", "2024-01-02T03:00:00Z", "Alice", "a1",
+         "alert: fomc meeting starts in 1 hour")])
+    # batch 2: a THIRD unparseable-stamp duplicate (cross-batch)
+    export("e2.json", [
+        ("m4", "still-not-a-timestamp", "Carol", "c1", alert)])
+    _os.utime(land / "e1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(land / "e2.json", (1_700_000_100, 1_700_000_100))
+
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    msgs = stream_discord_exports(spark, str(land),
+                                  max_files_per_trigger=1)
+    q = run_available_now(streaming_extraction_dedup(msgs), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    carol = [r for r in got if r.message_id in ("m1", "m2", "m4")]
+    assert len(carol) == 1, [r.message_id for r in got]
+    assert carol[0].event_ts is None
+    assert sorted(r.message_id for r in got)[-1] == "m3" or \
+        len(got) == 2  # exactly the control row + one Carol survivor
+    assert len(got) == 2
+
+
+def test_streaming_cross_batch_dedup_mode_mismatch_fails_loudly(
+        spark, tmp_path_factory):
+    """A sink previously written by the DEFAULT per-batch mode has no
+    _key column; pointing cross_batch_dedup=True at it must raise (a
+    mode mismatch), not silently disable dedup — the failure the old
+    broad except-AnalysisException used to swallow."""
+    import json as _json
+
+    from pyspark.errors import StreamingQueryException
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stream_discord_exports, streaming_export_triples,
+    )
+
+    base = tmp_path_factory.mktemp("mode_mismatch")
+    land = base / "landing"
+    land.mkdir()
+    (land / "e1.json").write_text(_json.dumps({
+        "channel": {"id": "c", "name": "alerts"},
+        "messages": [
+            {"id": "m1", "timestamp": "2024-01-02T03:00:00Z",
+             "content": "alert: fomc meeting starts in 1 hour",
+             "author": {"id": "a1", "name": "Alice"}}]}))
+
+    out = str(base / "out")
+    # write the sink in default (per-batch) mode -> rows lack _key
+    msgs = stream_discord_exports(spark, str(land))
+    q = streaming_export_triples(msgs, out, str(base / "ckpt1"))
+    q.awaitTermination(120)
+    assert "_key" not in spark.read.parquet(out).columns
+
+    # now a cross-batch-dedup stream against the same sink: loud fail
+    msgs2 = stream_discord_exports(spark, str(land))
+    q2 = streaming_export_triples(msgs2, out, str(base / "ckpt2"),
+                                  cross_batch_dedup=True)
+    with pytest.raises(StreamingQueryException, match="_key"):
+        q2.awaitTermination(120)
