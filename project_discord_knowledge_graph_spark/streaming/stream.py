@@ -271,11 +271,47 @@ STATEFUL_LINK_SCHEMA = ("subject string, predicate string, "
                         "segment_id string, confidence double")
 _LINK_STATE_SCHEMA = ("q_ids array<string>, q_authors array<string>, "
                       "q_ts array<string>")
+_LINK_STATE_SCHEMA_SEM = (_LINK_STATE_SCHEMA
+                          + ", q_vecs array<array<double>>")
+
+
+def _round6_half_up(x: float) -> float:
+    """Match Spark's F.round(col, 6) on DOUBLE bit-for-bit: Spark
+    rounds BigDecimal.valueOf(d) (Double.toString — the shortest
+    round-tripping decimal, same as Python repr) HALF_UP; Python's
+    builtin round() is banker's and can differ on exact .5 digits."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
+def _cosine_seqfold(a, b) -> float:
+    """Cosine with SEQUENTIAL left-fold accumulation — the exact
+    arithmetic of operators/ann.py cosine_expr (F.aggregate is a left
+    fold), so a streaming-emitted sim is bit-identical to the batch
+    join's.  numpy dot uses pairwise/SIMD summation whose last-ulp
+    difference could flip a round-to-6 at the threshold boundary."""
+    import math
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        x = float(x)
+        y = float(y)
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if denom == 0.0:
+        return float("nan")
+    return dot / denom
 
 
 def stateful_link_qa(messages: DataFrame,
                      time_window_minutes: int = 10,
-                     max_open_hours: float = 24.0) -> DataFrame:
+                     max_open_hours: float = 24.0,
+                     semantic: bool = False,
+                     sim_threshold: float | None = None) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): CROSS-batch
     Q->A linking — J1 reply links (confidence 0.95,
     extractor.py:441-463) AND J2 mention links (confidence 0.80,
@@ -303,12 +339,36 @@ def stateful_link_qa(messages: DataFrame,
 
     Input: flattened messages with (segment_id, message_id, type,
     author, mentions, reply_to, timestamp — normalized ISO string,
-    lexicographically time-ordered)."""
+    lexicographically time-ordered).
+
+    semantic=True additionally carries each open question's
+    PRECOMPUTED embedding (`vec` column, array<double> — embed once
+    upstream, the same production shape link_by_similarity requires)
+    in state and emits J3 semantic links: an answer links to an open
+    question when 0 <= (a_ts - q_ts) <= window AND
+    round(cosine, 6) > sim_threshold — the IDENTICAL admission
+    predicate as the batch `_semantic_window_sim` (sequential-fold
+    cosine, HALF_UP round BEFORE the threshold test), so within one
+    batch the streaming and batch J3 link sets are equal.  Confidence
+    is the rounded cosine.  Questions with a NULL/empty vec register
+    for J1/J2 but never link semantically (stored as empty vectors).
+    State cost: one dim-length double array per open question —
+    bounded by the same event-time prune as the id/author arrays."""
     from collections.abc import Iterator
 
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
     )
+
+    from .. import config as C
+
+    if sim_threshold is None:
+        sim_threshold = C.QA_SIMILARITY_THRESHOLD
+    if semantic and "vec" not in messages.columns:
+        raise ValueError(
+            "stateful_link_qa(semantic=True) requires a precomputed "
+            "'vec' column (array<double>): embed each message once "
+            "upstream, don't re-embed inside the linker")
 
     def _parse(ts: str):
         """Parse to an ALWAYS-offset-aware datetime: naive stamps are
@@ -331,10 +391,14 @@ def stateful_link_qa(messages: DataFrame,
         import datetime as dt
         cols = ["subject", "predicate", "object", "message_id",
                 "segment_id", "confidence"]
-        (q_ids, q_authors, q_ts) = state.get if state.exists \
-            else ([], [], [])
-        open_qs = {i: (a, t) for i, a, t
-                   in zip(q_ids, q_authors, q_ts)}
+        if state.exists:
+            st = state.get
+        else:
+            st = ([], [], [], []) if semantic else ([], [], [])
+        q_ids, q_authors, q_ts = st[0], st[1], st[2]
+        q_vecs = (st[3] if semantic else [None] * len(q_ids))
+        open_qs = {i: (a, t, v) for i, a, t, v
+                   in zip(q_ids, q_authors, q_ts, q_vecs)}
         out = []
 
         def _mx(cur, t):
@@ -351,20 +415,31 @@ def stateful_link_qa(messages: DataFrame,
         # arbitrary order — concat before scanning, or an answer chunk
         # preceding its question's chunk would miss the link
         chunks = [c for c in pdfs if len(c)]
+        empty_cols = ["segment_id", "message_id", "type", "author",
+                      "mentions", "reply_to", "timestamp"]
+        if semantic:
+            empty_cols.append("vec")
         batch = (pd.concat(chunks) if chunks
-                 else pd.DataFrame(columns=["segment_id", "message_id",
-                                            "type", "author", "mentions",
-                                            "reply_to", "timestamp"]))
+                 else pd.DataFrame(columns=empty_cols))
         batch = batch.sort_values(["timestamp", "message_id"])
+
+        def _vec_of(r):
+            if not semantic:
+                return None
+            v = r.vec
+            return [] if v is None or len(v) == 0 else [float(x)
+                                                        for x in v]
+
         # phase 1: register every question of the batch (reference
         # joins are set-semantic — an answer may precede its question
         # inside one export file)
         for r in batch[batch["type"] == "question"].itertuples():
             ts = r.timestamp or ""
-            open_qs[r.message_id] = ((r.author or "").lower(), ts)
+            open_qs[r.message_id] = ((r.author or "").lower(), ts,
+                                     _vec_of(r))
         # phase 2: scan answers against the full open-question set
         by_author: dict[str, list] = {}
-        for qid, (qa, qt) in open_qs.items():
+        for qid, (qa, qt, _qv) in open_qs.items():
             by_author.setdefault(qa, []).append((qid, qt))
         for r in batch.itertuples():
             ts = r.timestamp or ""
@@ -391,6 +466,32 @@ def stateful_link_qa(messages: DataFrame,
                         out.append((qid, "answered_by", r.message_id,
                                     f"{qid}_mention_{r.message_id}",
                                     key[0], 0.80))
+            if not semantic or a_dt is None:
+                continue
+            av = _vec_of(r)
+            if not av:
+                continue
+            for qid, (_qa, qt, qv) in open_qs.items():
+                # J3's window has BOTH bounds (answer strictly not
+                # before the question), unlike J2's missing lower
+                # bound — mirror _semantic_window_sim exactly
+                if not qv or len(qv) != len(av):
+                    continue
+                q_dt = _parse(qt)
+                if q_dt is None:
+                    continue
+                delta = a_dt - q_dt
+                if delta < dt.timedelta(0) or delta > dt.timedelta(
+                        minutes=time_window_minutes):
+                    continue
+                raw = _cosine_seqfold(qv, av)
+                if raw != raw:  # NaN (zero-norm vector): no link,
+                    continue    # same as the batch join's NULL sim
+                sim = _round6_half_up(raw)
+                if sim > sim_threshold:
+                    out.append((qid, "answered_by", r.message_id,
+                                f"{qid}_semantic_{r.message_id}",
+                                key[0], sim))
         # event-time prune on PARSED datetimes — string compare would
         # misorder 'T'-separated cutoffs against space-separated input
         # stamps ('2024-01-09 18:00' < '2024-01-09T12:00' at char 10).
@@ -407,19 +508,26 @@ def stateful_link_qa(messages: DataFrame,
             d = _parse(t)
             return True if d is None else d >= cut_dt
 
-        open_qs = {i: (a, t) for i, (a, t) in open_qs.items()
-                   if _keep(t)}
-        state.update((list(open_qs.keys()),
-                      [a for a, _ in open_qs.values()],
-                      [t for _, t in open_qs.values()]))
+        open_qs = {i: v for i, v in open_qs.items() if _keep(v[1])}
+        new_state = [list(open_qs.keys()),
+                     [a for a, _, _ in open_qs.values()],
+                     [t for _, t, _ in open_qs.values()]]
+        if semantic:
+            new_state.append([v for _, _, v in open_qs.values()])
+        state.update(tuple(new_state))
         yield pd.DataFrame(out, columns=cols)
 
+    in_cols = ["segment_id", "message_id", "type", "author",
+               "mentions", "reply_to", "timestamp"]
+    if semantic:
+        in_cols.append("vec")
     return (messages
-            .select("segment_id", "message_id", "type", "author",
-                    "mentions", "reply_to", "timestamp")
+            .select(*in_cols)
             .groupBy("segment_id")
             .applyInPandasWithState(
-                link, STATEFUL_LINK_SCHEMA, _LINK_STATE_SCHEMA,
+                link, STATEFUL_LINK_SCHEMA,
+                _LINK_STATE_SCHEMA_SEM if semantic
+                else _LINK_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
 
 

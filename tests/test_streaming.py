@@ -662,3 +662,116 @@ def test_streaming_cross_batch_dedup_mode_mismatch_fails_loudly(
                                   cross_batch_dedup=True)
     with pytest.raises(StreamingQueryException, match="_key"):
         q2.awaitTermination(120)
+
+
+def test_stateful_semantic_links(spark, tmp_path_factory):
+    """semantic=True: (a) within one micro-batch the emitted semantic
+    link set — pairs AND confidences — equals the batch J3 join
+    (link_by_similarity on precomputed vectors, identical admission
+    predicate); (b) a question's vector survives in state so an
+    answer in a LATER batch still links semantically."""
+    import json as _json
+    import os as _os
+
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_similarity, split_qa,
+    )
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stateful_link_qa,
+    )
+
+    import zlib
+
+    def vec(t):
+        # crc32, not builtin hash(): PYTHONHASHSEED varies per process
+        # and a collision-heavy 16-dim space made "dissimilar" text
+        # clear the 0.3 threshold on some seeds
+        v = [0.0] * 64
+        for w in (t or "").split():
+            v[zlib.crc32(w.encode()) % 64] += 1.0
+        return v
+
+    rows = [
+        # q1 at 10:00; a1 similar @+5min (links), a2 similar @+30min
+        # (outside window), a3 dissimilar @+6min (below threshold)
+        ("q1", "seg", "alice", "2024-01-01T10:00:00+00:00", "question",
+         None, [], "how do i size the wheel on tqqq?"),
+        ("a1", "seg", "bob", "2024-01-01T10:05:00+00:00", "answer",
+         None, [], "size the wheel on tqqq small, scale in slowly"),
+        ("a2", "seg", "carol", "2024-01-01T10:30:00+00:00", "answer",
+         None, [], "size the wheel on tqqq small"),
+        ("a3", "seg", "dan", "2024-01-01T10:06:00+00:00", "answer",
+         None, [], "coffee break chat totally unrelated words here"),
+    ]
+    cols = ("message_id string, segment_id string, author string, "
+            "timestamp string, type string, reply_to string, "
+            "mentions array<string>, clean_text string")
+
+    # batch ground truth: J3 on precomputed vectors
+    msgs = (spark.createDataFrame(rows, cols)
+            .withColumn("warc_ts", F.col("timestamp").cast("timestamp")))
+    questions, answers = split_qa(msgs, include_text=True)
+    vec_rows = [(r[0], vec(r[7])) for r in rows]
+    vecs = spark.createDataFrame(vec_rows,
+                                 "message_id string, v array<double>")
+    q = questions.join(vecs.selectExpr("message_id q_id", "v q_vec"),
+                       "q_id")
+    a = answers.join(vecs.selectExpr("message_id a_id", "v a_vec"),
+                     "a_id")
+    want = {(r.subject, r.object): r.confidence
+            for r in link_by_similarity(q, a).collect()}
+    assert set(want) == {("q1", "a1")}
+
+    # streaming, all four rows in ONE batch -> identical link set
+    base = tmp_path_factory.mktemp("sem_links")
+    names = ["segment_id", "message_id", "type", "author", "mentions",
+             "reply_to", "timestamp", "vec"]
+
+    def write_file(path, which):
+        with open(path, "w") as f:
+            for r in rows:
+                if r[0] not in which:
+                    continue
+                rec = dict(zip(names, (r[1], r[0], r[4], r[2], r[6],
+                                       r[5], r[3], vec(r[7]))))
+                f.write(_json.dumps(rec) + "\n")
+
+    schema = ("segment_id string, message_id string, type string, "
+              "author string, mentions array<string>, reply_to string, "
+              "timestamp string, vec array<double>")
+
+    def drain(land, out, ckpt):
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", "1").json(str(land))
+        sem = stateful_link_qa(stream, semantic=True)
+        q_ = run_available_now(sem, str(out), str(ckpt))
+        q_.awaitTermination(120)
+        return spark.read.parquet(str(out))
+
+    land1 = base / "land1"
+    land1.mkdir()
+    write_file(land1 / "f0.jsonl", {"q1", "a1", "a2", "a3"})
+    got = {(r.subject, r.object): r.confidence
+           for r in drain(land1, base / "out1", base / "ckpt1")
+           .where(F.col("message_id").contains("_semantic_"))
+           .collect()}
+    assert got == want   # same pair, bit-identical confidence
+
+    # cross-batch: question lands in file 1, similar answer in file 2
+    land2 = base / "land2"
+    land2.mkdir()
+    write_file(land2 / "f0.jsonl", {"q1"})
+    write_file(land2 / "f1.jsonl", {"a1"})
+    _os.utime(land2 / "f0.jsonl", (1_700_000_000, 1_700_000_000))
+    _os.utime(land2 / "f1.jsonl", (1_700_000_100, 1_700_000_100))
+    got2 = {(r.subject, r.object): r.confidence
+            for r in drain(land2, base / "out2", base / "ckpt2")
+            .where(F.col("message_id").contains("_semantic_"))
+            .collect()}
+    assert got2 == want  # state carried the vector across batches
+
+    # without a vec column, semantic=True refuses
+    with pytest.raises(ValueError, match="vec"):
+        stateful_link_qa(msgs.select(
+            "segment_id", "message_id", "type", "author", "mentions",
+            "reply_to", "timestamp"), semantic=True)
