@@ -379,6 +379,96 @@ def streaming_run(sf_dir: str) -> dict:
         spark.stop()
 
 
+def merge_sink_run(n_batches: int = 50, msgs_per_file: int = 200) -> dict:
+    """Growth curve of the MERGE-style cross-batch dedup sink
+    (streaming_export_triples cross_batch_dedup=True): every batch
+    anti-joins against the sink's accumulated _key column, so
+    per-batch cost contains an O(total sink keys) read.  This mode
+    drains `n_batches` single-file micro-batches and records each
+    batch's triggerExecution time so the growth (or flatness) of that
+    term is a measured number, not a docstring claim."""
+    import shutil
+    import tempfile
+
+    from project_discord_knowledge_graph_spark.session import get_spark
+    from project_discord_knowledge_graph_spark.sources.synth import (
+        gen_messages,
+    )
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stream_discord_exports, streaming_export_triples,
+    )
+
+    spark = get_spark("bench-merge-sink", master="local[32]",
+                      shuffle_partitions=32)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                   str(max(1000, n_batches * 2)))
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="kg_merge_sink_")
+    try:
+        # n_batches export files; ~half of each file re-uses message
+        # content from the previous file so the anti-join filters a
+        # realistic duplicate fraction every batch
+        msgs = gen_messages(n_batches * msgs_per_file, seed=11)
+        for fi in range(n_batches):
+            chunk = msgs[fi * msgs_per_file:(fi + 1) * msgs_per_file]
+            if fi > 0:
+                prev = msgs[(fi - 1) * msgs_per_file:
+                            fi * msgs_per_file]
+                chunk = chunk[: msgs_per_file // 2] \
+                    + prev[: msgs_per_file // 2]
+            doc = {"guild": {"id": "g1", "name": "bench"},
+                   "channel": {"id": f"c{fi}",
+                               "name": chunk[0]["channel"]},
+                   "messages": [
+                       {"id": f"{m['message_id']}_f{fi}",
+                        "timestamp": m["timestamp"].isoformat(),
+                        "content": m["content"],
+                        "author": {"id": m["author"],
+                                   "name": m["author"]}}
+                       for m in chunk]}
+            p = f"{d}/land/export_{fi:05d}.json"
+            os.makedirs(f"{d}/land", exist_ok=True)
+            with open(p, "w") as f:
+                json.dump(doc, f)
+            os.utime(p, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+        stream = stream_discord_exports(spark, f"{d}/land",
+                                        max_files_per_trigger=1)
+        t0 = time.perf_counter()
+        q = streaming_export_triples(stream, f"{d}/out", f"{d}/ckpt",
+                                     cross_batch_dedup=True)
+        terminated = q.awaitTermination(1200)
+        wall = round(time.perf_counter() - t0, 3)
+        progress = list(q.recentProgress or [])
+        per_batch = [round(p["durationMs"].get("triggerExecution", 0)
+                           / 1000.0, 3) for p in progress]
+        if not terminated:
+            q.stop()
+            q.awaitTermination(60)
+        sink = spark.read.parquet(f"{d}/out")
+        n_keys = sink.select("_key").distinct().count()
+        n_rows = sink.count()
+
+        def _mean(xs):
+            return round(sum(xs) / max(len(xs), 1), 3)
+
+        head = per_batch[2:12]   # skip the first two (stream warmup)
+        tail = per_batch[-10:]
+        return {"metric": "merge_sink_growth", "value": wall,
+                "unit": "sec", "n_batches": len(per_batch),
+                "sink_rows": n_rows, "sink_distinct_keys": n_keys,
+                "per_batch_sec": per_batch,
+                "mean_batch_3_12": _mean(head),
+                "mean_batch_last10": _mean(tail),
+                "growth_ratio": round(
+                    _mean(tail) / max(_mean(head), 1e-9), 3),
+                "timed_out": not terminated,
+                **_prov()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
 def _graph_stage(spark, pages_path: str) -> dict:
     """North-star graph stage over a freshly built triple set:
     entity linking (mention universe -> MinHash-LSH blocking -> exact
@@ -430,6 +520,111 @@ def _graph_stage(spark, pages_path: str) -> dict:
                 "triples_per_sec": round(n_triples / wall, 1)}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def graph_zipf_run() -> dict:
+    """Entity linking at ADVERSARIAL entity cardinality: the default
+    graph bench's mention universe collapses to ~43 canonical nodes,
+    so LSH fit, candidate-pair volume, the salted head-mention
+    aggregation, and CC are never stressed.  This mode builds a
+    Zipf-distributed mention universe (>= 1M distinct surface
+    mentions: heavy head, near-singleton tail, near-dup variant
+    clusters) and drives link_entities -> build_nodes/build_edges
+    over it, recording the four scale signals: LSH candidate-pair
+    count, CC rounds, salted-vs-unsalted reducer balance, and wall
+    per stage."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        canonicalize, extract_mentions, lsh_candidate_pairs_banded,
+        salt_balance, score_pairs,
+    )
+    from project_discord_knowledge_graph_spark.operators.graph import (
+        build_edges, build_nodes, write_graph,
+    )
+    from project_discord_knowledge_graph_spark.session import get_spark
+    from project_discord_knowledge_graph_spark.sources.synth_dist import (
+        zipf_triples_df,
+    )
+
+    n_triples = int(os.environ.get("SPARK_GRAFT_ZIPF_TRIPLES",
+                                   "6000000"))
+    n_entities = int(os.environ.get("SPARK_GRAFT_ZIPF_ENTITIES",
+                                    "2000000"))
+    spark = get_spark("bench-zipf", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    base = f"{shm}/kg_zipf_{os.getpid()}"
+    try:
+        t0 = time.perf_counter()
+        zipf_triples_df(spark, n_triples, n_entities=n_entities,
+                        n_authors=n_entities // 10).write.mode(
+            "overwrite").parquet(f"{base}/triples")
+        triples = spark.read.parquet(f"{base}/triples")
+        t_gen = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        mentions = extract_mentions(triples).persist()
+        n_mentions = mentions.count()
+        head = mentions.agg(F.max("n_occurrences")).first()[0]
+        t_mentions = round(time.perf_counter() - t0, 3)
+
+        balance = salt_balance(triples)
+
+        t0 = time.perf_counter()
+        cands, lsh_stats = lsh_candidate_pairs_banded(
+            mentions, return_stats=True)
+        cands = cands.persist()
+        n_cands = cands.count()
+        t_lsh = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        scored = score_pairs(cands, min_jaccard=0.5).persist()
+        n_scored = scored.count()
+        t_score = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        cmap, stats = canonicalize(mentions, scored,
+                                   return_stats=True)
+        cmap = cmap.persist()
+        n_canon = cmap.select("canonical_id").distinct().count()
+        t_cc = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        nodes = build_nodes(cmap)
+        edges = build_edges(triples, cmap)
+        write_graph(nodes, edges, f"{base}/graph")
+        n_nodes = spark.read.parquet(f"{base}/graph/nodes").count()
+        n_edges = spark.read.parquet(f"{base}/graph/edges").count()
+        t_mat = round(time.perf_counter() - t0, 3)
+
+        wall = round(t_mentions + t_lsh + t_score + t_cc + t_mat, 3)
+        for df in (mentions, cands, scored, cmap):
+            df.unpersist()
+        return {"metric": "kg_graph_zipf", "value": wall,
+                "unit": "sec", "n_triples": n_triples,
+                "n_entities_universe": n_entities,
+                "n_distinct_mentions": n_mentions,
+                "head_mention_occurrences": head,
+                "lsh_candidate_pairs": n_cands,
+                "lsh_bucket_stats": lsh_stats,
+                "scored_pairs": n_scored,
+                "cc_rounds": stats["rounds"],
+                "cc_converged": stats["converged"],
+                "n_canonical_entities": n_canon,
+                "n_nodes": n_nodes, "n_edges": n_edges,
+                "salt_balance": balance,
+                "gen_sec": t_gen, "mentions_sec": t_mentions,
+                "lsh_sec": t_lsh, "score_sec": t_score,
+                "cc_sec": t_cc, "materialize_sec": t_mat,
+                "triples_per_sec": round(n_triples / wall, 1),
+                **_prov()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
 
 
 def graph_run(sf_dir: str) -> dict:
@@ -599,12 +794,22 @@ def main() -> None:
                     help="stateful cross-batch linker throughput")
     ap.add_argument("--graph", action="store_true",
                     help="entity-link + nodes/edges materialize bench")
+    ap.add_argument("--graph-zipf", action="store_true",
+                    help="entity linking at Zipf mention cardinality "
+                         "(>=1M distinct mentions)")
+    ap.add_argument("--merge-sink", action="store_true",
+                    help="per-batch growth curve of the cross-batch "
+                         "dedup MERGE sink")
     ap.add_argument("--json-only", action="store_true",
                     help="suppress everything except the final JSON line")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
     if args.cc:
         print(json.dumps(cc_deep_run()))
+    elif args.graph_zipf:
+        print(json.dumps(graph_zipf_run()))
+    elif args.merge_sink:
+        print(json.dumps(merge_sink_run()))
     elif args.graph:
         print(json.dumps(graph_run(sf_dir)))
     elif args.streaming:

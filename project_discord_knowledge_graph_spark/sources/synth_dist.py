@@ -19,7 +19,7 @@ import random
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.html import render_page
 from .synth import (
@@ -131,3 +131,73 @@ def write_pages_dist(spark: SparkSession, path: str, n: int, seed: int = 42,
                      partitions: int = 128) -> None:
     pages_df_dist(spark, n, seed, partitions).write.mode(
         "overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-distributed mention universe (entity-linking stress corpus)
+# ---------------------------------------------------------------------------
+
+def zipf_triples_df(spark: SparkSession, n_triples: int,
+                    n_entities: int = 2_000_000,
+                    n_authors: int = 200_000,
+                    seed: int = 42) -> DataFrame:
+    """Synthetic triple table whose OBJECT mentions follow a
+    Zipf-like (log-uniform rank) distribution over `n_entities`
+    canonical entities — the adversarial entity-cardinality shape the
+    toy pipeline corpus (43 canonical nodes) never exercises: a heavy
+    head (rank 1 absorbs ~1/ln(E) of all occurrences — the skew the
+    salted aggregation exists for), a long near-singleton tail, and
+    NEAR-DUP SURFACE VARIANTS (30% of occurrences spell the entity as
+    base+'s' / 'the '+base / base+'-inc', all within trigram-Jaccard
+    0.5 of the base) forming the tail clusters MinHash-LSH blocking
+    and connected components must resolve.
+
+    Everything is a native Spark SQL expression over spark.range —
+    zero Python in the row path, so the corpus generates at any scale
+    (rank r drawn as floor(E^u) with u hash-uniform per row: P(rank
+    <= r) = ln(r)/ln(E), i.e. mass ~ 1/r — Zipf s=1).
+
+    Canonical surface forms are base-36 re-encodings of md5(rank) —
+    a ~36-char alphabet so the trigram space is wide (distinct
+    canonicals are NOT near-dups of each other, unlike zero-padded
+    serial names whose shared prefixes would merge the whole universe
+    into one CC component).
+    """
+    u1 = (F.pmod(F.xxhash64(F.col("id"), F.lit(f"{seed}:erank")),
+                 F.lit(1 << 40)) / F.lit(float(1 << 40)))
+    u2 = (F.pmod(F.xxhash64(F.col("id"), F.lit(f"{seed}:arank")),
+                 F.lit(1 << 40)) / F.lit(float(1 << 40)))
+    e_rank = F.least(F.lit(n_entities), (F.pow(F.lit(float(n_entities)),
+                                               u1)).cast("long") + 1)
+    a_rank = F.least(F.lit(n_authors), (F.pow(F.lit(float(n_authors)),
+                                              u2)).cast("long") + 1)
+
+    def b36_name(prefix: str, rank, salt: str):
+        h = F.md5(F.concat(F.lit(f"{seed}:{salt}:"),
+                           rank.cast("string")))
+        return F.concat(
+            F.lit(prefix),
+            F.conv(F.substring(h, 1, 12), 16, 36),
+            F.conv(F.substring(h, 13, 12), 16, 36))
+
+    base = b36_name("e:", e_rank, "ename")
+    v = F.pmod(F.xxhash64(F.col("id"), F.lit(f"{seed}:variant")),
+               F.lit(100))
+    surface = (F.when(v < 70, base)
+               .when(v < 80, F.concat(base, F.lit("s")))
+               .when(v < 90, F.concat(F.lit("the "), base))
+               .otherwise(F.concat(base, F.lit("-inc"))))
+    author = b36_name("u:", a_rank, "aname")
+
+    return (spark.range(n_triples)
+            .select(
+                author.alias("subject"),
+                F.lit("mentions_asset").alias("predicate"),
+                surface.alias("object"),
+                F.format_string("zm%012d", F.col("id"))
+                 .alias("message_id"),
+                F.concat(F.lit("zseg"),
+                         F.pmod(F.col("id"), F.lit(1024)).cast("string"))
+                 .alias("segment_id"),
+                F.lit("2024-01-01T00:00:00+00:00").alias("timestamp"),
+                F.lit(0.9).alias("confidence")))

@@ -138,3 +138,110 @@ def test_extract_mentions_salt_spreads_head_mention(spark):
         F.pmod(F.xxhash64(F.lit("btc"), "message_id"),
                F.lit(N_SALTS)).alias("s")).distinct().count())
     assert spread > N_SALTS // 2, (spread, N_SALTS)
+
+
+def test_zipf_corpus_links_variants_not_strangers(spark):
+    """The Zipf stress corpus (sources/synth_dist.zipf_triples_df)
+    must exercise the linker realistically: (a) deterministic per
+    (seed, id); (b) heavy head — the top mention absorbs well over
+    the uniform share; (c) near-dup surface variants of one canonical
+    merge under link_entities while DISTINCT canonicals never do
+    (base-36 md5 names share too few trigrams); (d) the measured salt
+    balance shows the head key spread across reducers."""
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        N_SALTS, link_entities, salt_balance,
+    )
+    from project_discord_knowledge_graph_spark.sources.synth_dist import (
+        zipf_triples_df,
+    )
+
+    t = zipf_triples_df(spark, 4000, n_entities=500, n_authors=100,
+                        seed=7).persist()
+    # determinism: same (seed, n) -> identical rows
+    a = sorted(map(tuple, t.collect()))
+    b = sorted(map(tuple, zipf_triples_df(
+        spark, 4000, n_entities=500, n_authors=100, seed=7).collect()))
+    assert a == b
+
+    cmap = link_entities(t).persist()
+    merged = cmap.where(F.col("mention") != F.col("canonical_id"))
+    assert merged.count() > 0
+    # every merge joins surface variants of the SAME base (the
+    # canonical need not be the undecorated base — when the base form
+    # was never drawn, a decorated variant sorts smallest): the two
+    # strings must share a base under the generator's decorations
+    def bases(s):
+        out = {s}
+        u = s.removeprefix("the ")
+        out.add(u)
+        if u.endswith("-inc"):
+            out.add(u[:-4])
+        if u.endswith("s"):
+            out.add(u[:-1])
+        return out
+
+    for r in merged.collect():
+        assert bases(r.mention) & bases(r.canonical_id), \
+            (r.mention, r.canonical_id)
+
+    # heavy head: top entity mention >> uniform share (4000/500 = 8)
+    head = (cmap.orderBy(F.desc("n_occurrences")).first())
+    assert head.n_occurrences > 40
+
+    bal = salt_balance(t)
+    assert bal["n_salts"] == N_SALTS
+    assert bal["max_salted_reducer_rows"] < \
+        bal["max_unsalted_reducer_rows"]
+    # the head key's rows spread across most of the 16 salts
+    assert bal["balance_ratio"] >= N_SALTS / 2
+    t.unpersist()
+    cmap.unpersist()
+
+
+def test_banded_lsh_recall_and_bucket_cap(spark):
+    """Native banded-MinHash blocking: (a) recall >= 0.9 of the exact
+    all-pairs trigram-Jaccard >= 0.5 join on a corpus of near-dup
+    variant clusters; (b) prunes-never-invents — the verified banded
+    output is a subset of the exact join; (c) the bucket cap drops
+    oversized common-token buckets and REPORTS them in stats."""
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        lsh_candidate_pairs_banded, score_pairs,
+    )
+    from project_discord_knowledge_graph_spark.sources.synth_dist import (
+        zipf_triples_df,
+    )
+
+    t = zipf_triples_df(spark, 6000, n_entities=800, n_authors=150,
+                        seed=13)
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        extract_mentions,
+    )
+    mentions = extract_mentions(t).persist()
+
+    # exact ground truth: broadcast all-pairs + exact trigram Jaccard
+    a = mentions.select(F.col("mention").alias("mention_a"))
+    b = mentions.select(F.col("mention").alias("mention_b"))
+    allp = (F.broadcast(a).crossJoin(b)
+            .where(F.col("mention_a") < F.col("mention_b")))
+    exact = {(r.mention_a, r.mention_b)
+             for r in score_pairs(allp, 0.5).collect()}
+    assert exact  # the corpus must actually contain near-dups
+
+    cands = lsh_candidate_pairs_banded(mentions)
+    got = {(r.mention_a, r.mention_b)
+           for r in score_pairs(cands, 0.5).collect()}
+    assert got <= exact                       # never invents
+    assert len(got) / len(exact) >= 0.9       # recall gate
+
+    # a degenerate corpus where EVERY mention shares one token: the
+    # cap drops the hot buckets and says so
+    hot = spark.range(600).select(
+        F.concat(F.lit("the common shared corporate token "),
+                 F.substring(F.md5(F.col("id").cast("string")), 1, 6))
+         .alias("mention"),
+        F.lit(1).alias("n_occurrences"))
+    _, stats = lsh_candidate_pairs_banded(hot, bucket_cap=50,
+                                          return_stats=True)
+    assert stats["n_dropped_buckets"] > 0
+    assert stats["max_bucket"] > 50
+    mentions.unpersist()
