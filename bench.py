@@ -379,6 +379,52 @@ def streaming_run(sf_dir: str) -> dict:
         spark.stop()
 
 
+def suite_run(sf_dir: str) -> dict:
+    """Run EVERY registered query once at `sf_dir` (cliff-hunting
+    mode: meant for a 10x-upsampled corpus built by
+    scripts/make_sf.py), recording wall, result rows, and JVM heap
+    after each query — the goal is spotting a query whose cost
+    explodes superlinearly when the data grows a decade, not precise
+    throughput (single rep, no warm best-of-N)."""
+    from project_discord_knowledge_graph_spark import entry_queries as EQ
+    from project_discord_knowledge_graph_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark("bench-suite", master="local[32]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    try:
+        spark.range(1000).selectExpr("sum(id)").collect()
+        results: dict[str, dict] = {}
+        peak_heap = 0.0
+        for name, (fn, _sql) in EQ.QUERIES.items():
+            t0 = time.perf_counter()
+            try:
+                n_rows = fn(spark, sf_dir).count()
+                err = None
+            except Exception as e:  # record the cliff, keep hunting
+                n_rows = None
+                err = f"{type(e).__name__}: {e}"[:300]
+            dt = round(time.perf_counter() - t0, 3)
+            heap_mb = round((rt.totalMemory() - rt.freeMemory())
+                            / (1 << 20))
+            peak_heap = max(peak_heap, heap_mb)
+            results[name] = {"sec": dt, "rows": n_rows,
+                             "jvm_heap_mb": heap_mb,
+                             **({"err": err} if err else {})}
+        total = round(sum(r["sec"] for r in results.values()), 3)
+        return {"metric": "query_suite", "value": total,
+                "unit": "sec", "sf": sf_dir,
+                "n_queries": len(results),
+                "n_failed": sum(1 for r in results.values()
+                                if r.get("err")),
+                "peak_jvm_heap_mb": peak_heap,
+                "queries": results, **_prov()}
+    finally:
+        spark.stop()
+
+
 def merge_sink_run(n_batches: int = 50, msgs_per_file: int = 200) -> dict:
     """Growth curve of the MERGE-style cross-batch dedup sink
     (streaming_export_triples cross_batch_dedup=True): every batch
@@ -800,6 +846,9 @@ def main() -> None:
     ap.add_argument("--merge-sink", action="store_true",
                     help="per-batch growth curve of the cross-batch "
                          "dedup MERGE sink")
+    ap.add_argument("--suite", action="store_true",
+                    help="run ALL registered queries once at "
+                         "$SPARK_GRAFT_SF_DIR (cliff hunt)")
     ap.add_argument("--json-only", action="store_true",
                     help="suppress everything except the final JSON line")
     args = ap.parse_args()
@@ -810,6 +859,8 @@ def main() -> None:
         print(json.dumps(graph_zipf_run()))
     elif args.merge_sink:
         print(json.dumps(merge_sink_run()))
+    elif args.suite:
+        print(json.dumps(suite_run(sf_dir)))
     elif args.graph:
         print(json.dumps(graph_run(sf_dir)))
     elif args.streaming:
