@@ -500,6 +500,54 @@ def merge_sink_run(n_batches: int = 50, msgs_per_file: int = 200) -> dict:
 
         head = per_batch[2:12]   # skip the first two (stream warmup)
         tail = per_batch[-10:]
+
+        # phase 2: the O(total sink keys) term is unmeasurable at a
+        # few thousand keys — inflate the sink to multi-month
+        # deployment size (5M synthetic keys, full sink schema, own
+        # batch_id partition) and drain 10 MORE batches off the same
+        # checkpoint; the per-batch mean delta vs phase 1 IS the
+        # marginal cost of anti-joining a big sink.
+        n_big = int(os.environ.get("SPARK_GRAFT_MERGE_SINK_KEYS",
+                                   "5000000"))
+        from pyspark.sql import functions as F
+        pad = spark.range(n_big).select(
+            *[F.md5(F.concat(F.lit(f"{c}:"), F.col("id").cast(
+                "string"))).alias(c)
+              if str(sink.schema[c].dataType) == "StringType()"
+              else F.lit(0.5).cast(sink.schema[c].dataType).alias(c)
+              for c in sink.columns if c != "batch_id"])
+        (pad.withColumn("batch_id", F.lit(999999))
+         .write.mode("append").partitionBy("batch_id")
+         .parquet(f"{d}/out"))
+        for fi in range(n_batches, n_batches + 10):
+            chunk = msgs[(fi - n_batches) * msgs_per_file // 2:]
+            chunk = chunk[:msgs_per_file]
+            doc = {"guild": {"id": "g1", "name": "bench"},
+                   "channel": {"id": f"c{fi}",
+                               "name": chunk[0]["channel"]},
+                   "messages": [
+                       {"id": f"{m['message_id']}_f{fi}",
+                        "timestamp": m["timestamp"].isoformat(),
+                        "content": m["content"],
+                        "author": {"id": m["author"],
+                                   "name": m["author"]}}
+                       for m in chunk]}
+            p = f"{d}/land/export_{fi:05d}.json"
+            with open(p, "w") as f:
+                json.dump(doc, f)
+            os.utime(p, (1_700_000_100 + fi, 1_700_000_100 + fi))
+        stream2 = stream_discord_exports(spark, f"{d}/land",
+                                         max_files_per_trigger=1)
+        q2 = streaming_export_triples(stream2, f"{d}/out", f"{d}/ckpt",
+                                      cross_batch_dedup=True)
+        terminated2 = q2.awaitTermination(1200)
+        big_batches = [round(p["durationMs"].get("triggerExecution", 0)
+                             / 1000.0, 3)
+                       for p in (q2.recentProgress or [])]
+        if not terminated2:
+            q2.stop()
+            q2.awaitTermination(60)
+
         return {"metric": "merge_sink_growth", "value": wall,
                 "unit": "sec", "n_batches": len(per_batch),
                 "sink_rows": n_rows, "sink_distinct_keys": n_keys,
@@ -508,7 +556,12 @@ def merge_sink_run(n_batches: int = 50, msgs_per_file: int = 200) -> dict:
                 "mean_batch_last10": _mean(tail),
                 "growth_ratio": round(
                     _mean(tail) / max(_mean(head), 1e-9), 3),
-                "timed_out": not terminated,
+                "big_sink_keys": n_big + n_keys,
+                "big_sink_per_batch_sec": big_batches,
+                "mean_big_sink_batch": _mean(big_batches[1:]),
+                "big_sink_marginal_sec": round(
+                    _mean(big_batches[1:]) - _mean(tail), 3),
+                "timed_out": not (terminated and terminated2),
                 **_prov()}
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -110,6 +110,15 @@ def streaming_export_triples(messages_stream: DataFrame, out_path: str,
       by _key and the anti-join+append pair collapses into
       MERGE INTO ... WHEN NOT MATCHED THEN INSERT with bucket
       pruning (sources/catalog.py carries the table DDL shape).
+
+      MEASURED growth (bench.py --merge-sink, BENCH.md round 5): the
+      per-batch anti-join term is linear in sink keys at ~0.15 us per
+      key — +0.76 s/batch at a 5M-key sink vs a ~1.9 s fixed batch
+      cost; flat (ratio 0.90) over 50 batches at export cadence.  To
+      ~10M keys the parquet fallback is fine; beyond that use the
+      Iceberg MERGE shape (probe cost O(batch keys) via bucket
+      pruning) or streaming_extraction_dedup's bounded state when
+      duplicate lag is bounded.
     """
     from ..operators.classify import with_type
     from ..operators.dedup import aggregate_triples, dedup_key
