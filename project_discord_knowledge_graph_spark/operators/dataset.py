@@ -6,9 +6,12 @@ each expressed Spark-first:
 - exact: fingerprint groupBy, keep-min survivor (one shuffle).
 - minhash signatures: native explode/min over character shingles
   (SQL-expressible, oracle-checked) — the banding building block.
-- minhash LSH near-dup pairs: ml.feature.MinHashLSH band-bucket join
-  (the scale path; bands hash to buckets, candidates only collide
-  within buckets).
+- minhash LSH near-dup pairs: native banded-MinHash join
+  (operators/lsh.py, the scale path — AND-amplified bands +
+  stats-reported bucket cap; candidates only collide within
+  buckets).  The ml.feature.MinHashLSH variant is kept for small
+  corpora; its OR-amplified tables hot-bucket on shared shingles at
+  >=1M items (measured on mentions, BENCH.md round 5).
 - simhash: per-document bit signature from word-hash majorities
   (native bit ops via md5 hex-char parity; hamming-adjacent buckets
   find near-dups).
@@ -124,11 +127,33 @@ def simhash(df: DataFrame, text_col: str = "text",
     return sums.select(F.col(id_col), bitstr.alias("simhash"))
 
 
+def minhash_lsh_pairs_banded(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             shingle: int = 8,
+                             grams: DataFrame | None = None,
+                             **banded_kw) -> DataFrame:
+    """Document near-dup candidates via the native banded-MinHash
+    primitive (operators/lsh.banded_minhash_pairs) — the at-scale
+    replacement for `minhash_lsh_pairs`, whose ml
+    approxSimilarityJoin hot-buckets on shared shingles (boilerplate
+    headers, licence blocks — every web corpus has them) exactly as
+    measured for entity mentions in BENCH.md round 5.  Candidates
+    only: verify with exact shingle Jaccard (near_dedup does)."""
+    from .lsh import banded_minhash_pairs
+
+    if grams is None:
+        grams = shingle_sets(df, text_col, id_col, shingle)
+    return banded_minhash_pairs(
+        grams.select(F.col(id_col), F.col("shingles")),
+        id_col, "shingles", **banded_kw)
+
+
 def near_dedup(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                jaccard_distance: float = 0.3,
                min_exact_jaccard: float = 0.7,
-               num_hash_tables: int = 6, shingle: int = 8) -> DataFrame:
+               num_hash_tables: int = 6, shingle: int = 8,
+               blocking: str = "banded") -> DataFrame:
     """The production near-duplicate dedup composition:
 
         MinHash-LSH blocking  ->  exact shingle-Jaccard verify
@@ -159,8 +184,15 @@ def near_dedup(df: DataFrame, text_col: str = "text",
     from .components import connected_components
 
     grams = shingle_sets(df, text_col, id_col, shingle).persist()
-    pairs = minhash_lsh_pairs(df, text_col, id_col, jaccard_distance,
-                              num_hash_tables, shingle, grams=grams)
+    if blocking == "banded":
+        # native banded blocking (see minhash_lsh_pairs_banded): the
+        # path that survives boilerplate-heavy corpora at scale
+        pairs = minhash_lsh_pairs_banded(df, text_col, id_col,
+                                         shingle, grams=grams)
+    else:
+        pairs = minhash_lsh_pairs(df, text_col, id_col,
+                                  jaccard_distance, num_hash_tables,
+                                  shingle, grams=grams)
     # exact verify: true shingle jaccard on candidates only, reading
     # the SAME staged shingle frame as the blocking stage
     a = grams.select(F.col(id_col).alias("id_a"),

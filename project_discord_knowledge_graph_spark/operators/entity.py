@@ -204,54 +204,23 @@ def lsh_candidate_pairs_banded(mentions: DataFrame, n: int = 3,
     Output: (mention_a, mention_b) with mention_a < mention_b,
     distinct across bands; feed to score_pairs for the exact-Jaccard
     verify (blocking only prunes, never admits).
+
+    Delegates to operators/lsh.banded_minhash_pairs — the same
+    primitive blocks document shingles in dataset.near_dedup, so the
+    two at-scale paths cannot drift.
     """
-    from pyspark.sql import Window
+    from .lsh import banded_minhash_pairs
 
     grams = with_ngrams(mentions, n).where(F.size("ngrams") > 0)
-    nh = n_bands * rows_per_band
-    sig = grams.select(
-        "mention",
-        *[F.array_min(F.transform(
-            F.col("ngrams"),
-            lambda g, j=j: F.xxhash64(F.lit(f"{seed}:{j}"), g)))
-          .alias(f"_h{j}") for j in range(nh)])
-    band_keys = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"_h{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("sig"))
-        for b in range(n_bands)]
-    buckets = (sig
-               .select("mention",
-                       F.explode(F.array(*band_keys)).alias("bk"))
-               .select("mention", F.col("bk.band").alias("band"),
-                       F.col("bk.sig").alias("sig")))
-    sized = buckets.withColumn(
-        "_bsize", F.count("*").over(Window.partitionBy("band", "sig")))
-    ok = sized.where(F.col("_bsize") <= bucket_cap).drop("_bsize")
-    a = ok.select("band", "sig", F.col("mention").alias("mention_a"))
-    b = ok.select("band", "sig", F.col("mention").alias("mention_b"))
-    pairs = (a.join(b, ["band", "sig"])
-             .where(F.col("mention_a") < F.col("mention_b"))
-             .select("mention_a", "mention_b")
-             .distinct())
-    if not return_stats:
-        return pairs
-    agg = (sized.groupBy("band", "sig")
-           .agg(F.first("_bsize").alias("bsize"))
-           .agg(F.count("*").alias("n_buckets"),
-                F.sum(F.when(F.col("bsize") > bucket_cap, 1)
-                      .otherwise(0)).alias("n_dropped_buckets"),
-                F.sum(F.when(F.col("bsize") > bucket_cap,
-                             F.col("bsize")).otherwise(0))
-                .alias("n_dropped_rows"),
-                F.max("bsize").alias("max_bucket"))
-           .first())
-    return pairs, {"n_buckets": agg["n_buckets"],
-                   "n_dropped_buckets": agg["n_dropped_buckets"],
-                   "n_dropped_rows": agg["n_dropped_rows"],
-                   "max_bucket": agg["max_bucket"],
-                   "bucket_cap": bucket_cap}
+    out = banded_minhash_pairs(
+        grams, "mention", "ngrams", n_bands=n_bands,
+        rows_per_band=rows_per_band, bucket_cap=bucket_cap,
+        seed=seed, return_stats=return_stats)
+    pairs, stats = out if return_stats else (out, None)
+    pairs = (pairs
+             .withColumnRenamed("id_a", "mention_a")
+             .withColumnRenamed("id_b", "mention_b"))
+    return (pairs, stats) if return_stats else pairs
 
 
 def score_pairs(pairs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:

@@ -414,3 +414,48 @@ def test_frame_sample_plan(spark, media):
     frames = frame_sample_plan(media, every_ms=1000)
     got = sorted(r.frame_ts_ms for r in frames.collect())
     assert got == [0, 1000, 2000, 3000]
+
+
+def test_banded_doc_pairs_match_ml_blocking(spark):
+    """The native banded document blocking must (a) produce candidate
+    pairs that, after the exact shingle-Jaccard verify, equal the ml
+    approxSimilarityJoin path's verified pairs on a near-dup corpus
+    (same blocking contract, different mechanics), and (b) plug into
+    near_dedup (the default blocking) with identical cluster output."""
+    from project_discord_knowledge_graph_spark.operators.dataset import (
+        minhash_lsh_pairs, minhash_lsh_pairs_banded, near_dedup,
+        shingle_sets,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight!"),
+        (3, "the quick brown fox leaps over the lazy dog tonight"),
+        (4, "completely different payload with no shared shingles"),
+        (5, "another unrelated document about parquet partitioning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    grams = shingle_sets(docs).persist()
+
+    def verified(pairs):
+        a = grams.selectExpr("doc_id id_a", "shingles ga")
+        b = grams.selectExpr("doc_id id_b", "shingles gb")
+        j = (F.size(F.array_intersect("ga", "gb"))
+             / F.size(F.array_union("ga", "gb")))
+        return {(r.id_a, r.id_b) for r in
+                pairs.join(a, "id_a").join(b, "id_b")
+                .where(j >= 0.7).select("id_a", "id_b").collect()}
+
+    ml = verified(minhash_lsh_pairs(docs, jaccard_distance=0.5,
+                                    grams=grams))
+    banded = verified(minhash_lsh_pairs_banded(docs, grams=grams))
+    assert banded == ml and banded  # same verified set, non-empty
+
+    out = {(r.doc_id, r.keep_id, r.is_dup)
+           for r in near_dedup(docs, min_exact_jaccard=0.7).collect()}
+    out_ml = {(r.doc_id, r.keep_id, r.is_dup)
+              for r in near_dedup(docs, min_exact_jaccard=0.7,
+                                  blocking="ml").collect()}
+    assert out == out_ml
+    assert (2, 1, True) in out
+    grams.unpersist()
