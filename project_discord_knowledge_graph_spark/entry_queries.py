@@ -1173,8 +1173,8 @@ def q_entity_canonical(spark, sf_dir):
     (connected components, min-member id).  Candidates here are the
     exact all-pairs baseline (broadcast-bounded: the sf mention
     universe is tiny) so every stage is DuckDB-provable; the
-    production path swaps in lsh_candidate_pairs, whose recall is
-    gated separately (tests/test_entity_graph.py)."""
+    production path swaps in lsh_candidate_pairs_banded, whose recall
+    is gated separately (tests/test_entity_graph.py)."""
     from .operators.entity import (
         canonicalize, extract_mentions, score_pairs,
     )
