@@ -302,11 +302,16 @@ def cc_deep_run() -> dict:
         spark.stop()
 
 
-def streaming_run(sf_dir: str) -> dict:
+def streaming_run(sf_dir: str, semantic: bool = False) -> dict:
     """Streaming-surface throughput: drain the events-derived message
     corpus through the stateful cross-batch Q->A linker
     (applyInPandasWithState) with an availableNow trigger, reporting
-    messages/sec and links emitted."""
+    messages/sec and links emitted.
+
+    semantic=True additionally carries a deterministic 16-dim vector
+    per message (native hash expression — the precomputed-embedding
+    production shape) and enables the J3-in-state path, measuring the
+    cost of the per-answer cosine scan over open questions."""
     import shutil
     import tempfile
 
@@ -330,17 +335,24 @@ def streaming_run(sf_dir: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     d = tempfile.mkdtemp(prefix="kg_stream_bench_")
     try:
+        from pyspark.sql import functions as F
         msgs = events_messages(spark, sf_dir).select(
             "segment_id", "message_id", "type", "author", "mentions",
             "reply_to", "timestamp")
+        if semantic:
+            msgs = msgs.withColumn("vec", F.array(*[
+                ((F.pmod(F.xxhash64("message_id", F.lit(j)),
+                         F.lit(1000)) / F.lit(500.0)) - F.lit(1.0))
+                for j in range(16)]))
         n_msgs = msgs.count()
         src = f"{d}/msgs"
         msgs.write.parquet(src)
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
         t0 = time.perf_counter()
-        q = run_available_now(stateful_link_qa(stream),
-                              f"{d}/out", f"{d}/ckpt")
+        q = run_available_now(
+            stateful_link_qa(stream, semantic=semantic),
+            f"{d}/out", f"{d}/ckpt")
         terminated = q.awaitTermination(600)
         wall = round(time.perf_counter() - t0, 3)
         # steady-state drain = sum of per-batch triggerExecution time;
@@ -361,7 +373,8 @@ def streaming_run(sf_dir: str) -> dict:
         # the flagged record instead of crashing on the read
         links = (spark.read.parquet(f"{d}/out").count()
                  if os.path.isdir(f"{d}/out") else None)
-        out = {"metric": "stateful_link_stream", "value": wall,
+        out = {"metric": "stateful_link_stream_semantic" if semantic
+               else "stateful_link_stream", "value": wall,
                "unit": "sec", "sf": sf_dir, "n_msgs": n_msgs,
                "links": links, "drain_sec": drain,
                "n_batches": len(progress),
@@ -891,6 +904,9 @@ def main() -> None:
                     help="deep-graph connected-components rounds bench")
     ap.add_argument("--streaming", action="store_true",
                     help="stateful cross-batch linker throughput")
+    ap.add_argument("--semantic", action="store_true",
+                    help="with --streaming: enable the J3-in-state "
+                         "semantic path over precomputed vectors")
     ap.add_argument("--graph", action="store_true",
                     help="entity-link + nodes/edges materialize bench")
     ap.add_argument("--graph-zipf", action="store_true",
@@ -917,7 +933,8 @@ def main() -> None:
     elif args.graph:
         print(json.dumps(graph_run(sf_dir)))
     elif args.streaming:
-        print(json.dumps(streaming_run(sf_dir)))
+        print(json.dumps(streaming_run(sf_dir,
+                                       semantic=args.semantic)))
     elif args.scaling:
         print(json.dumps(scaling_run(sf_dir, reps=args.reps)))
     else:

@@ -186,3 +186,35 @@ def test_aqe_skew_join_fires_on_head_link_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_banded_lsh_reuses_signature_exchange(spark):
+    """The banded-MinHash pair generator self-joins the bucket frame;
+    the executed plan must REUSE the bucket exchange on the second
+    join side instead of recomputing the (expensive) 60-min-hash
+    signature scan twice, and the window's (band, sig) partitioning
+    must feed the join without an extra exchange per side."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from project_discord_knowledge_graph_spark.operators.entity import (
+        lsh_candidate_pairs_banded,
+    )
+
+    mentions = spark.range(2000).select(
+        F.concat(F.lit("m:"), F.md5(F.col("id").cast("string")))
+         .alias("mention"),
+        F.lit(1).alias("n_occurrences"))
+    pairs = lsh_candidate_pairs_banded(mentions)
+    pairs.collect()
+    # toString() appends the pre-AQE "Initial Plan" which duplicates
+    # every exchange — audit only the executed Final Plan section
+    plan = (pairs._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "ReusedExchange" in plan, plan[:2000]
+    # window partitioning (band, sig) flows into the join: at most
+    # one NON-reused bucket exchange in the whole executed plan
+    bucket_ex = re.findall(r"\+- Exchange hashpartitioning\(band",
+                           plan)
+    assert len(bucket_ex) <= 1, plan[:2000]
