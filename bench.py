@@ -698,6 +698,28 @@ def graph_zipf_run() -> dict:
         n_scored = scored.count()
         t_score = round(time.perf_counter() - t0, 3)
 
+        # at-scale recall against GENERATOR ground truth: surfaces of
+        # one entity differ only by the known decorations, so the
+        # true near-dup families are recoverable by stripping them;
+        # the exact-Jaccard verify on those family pairs is the truth
+        # set (exact all-pairs is infeasible at 1e12 pairs, this is
+        # exact-by-construction instead of sampled)
+        fam = mentions.select(
+            "mention",
+            F.regexp_replace(
+                F.regexp_replace(F.col("mention"), "^the ", ""),
+                "(-inc|s)$", "").alias("_base"))
+        fpairs = (fam.alias("a").join(fam.alias("b"), "_base")
+                  .where(F.col("a.mention") < F.col("b.mention"))
+                  .select(F.col("a.mention").alias("mention_a"),
+                          F.col("b.mention").alias("mention_b")))
+        truth = score_pairs(fpairs, min_jaccard=0.5).persist()
+        n_truth = truth.count()
+        n_found = truth.join(scored, ["mention_a", "mention_b"],
+                             "left_semi").count()
+        truth.unpersist()
+        recall = round(n_found / max(n_truth, 1), 4)
+
         t0 = time.perf_counter()
         cmap, stats = canonicalize(mentions, scored,
                                    return_stats=True)
@@ -724,6 +746,8 @@ def graph_zipf_run() -> dict:
                 "lsh_candidate_pairs": n_cands,
                 "lsh_bucket_stats": lsh_stats,
                 "scored_pairs": n_scored,
+                "truth_pairs": n_truth,
+                "recall_vs_generator_truth": recall,
                 "cc_rounds": stats["rounds"],
                 "cc_converged": stats["converged"],
                 "n_canonical_entities": n_canon,
