@@ -691,6 +691,9 @@ def graph_zipf_run() -> dict:
             mentions, return_stats=True)
         cands = cands.persist()
         n_cands = cands.count()
+        # release the signature/bucket cache the stats pass pinned
+        # (the pairs are materialized above; nothing reads it again)
+        lsh_stats.pop("bucket_frame").unpersist()
         t_lsh = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
@@ -704,15 +707,24 @@ def graph_zipf_run() -> dict:
         # the exact-Jaccard verify on those family pairs is the truth
         # set (exact all-pairs is infeasible at 1e12 pairs, this is
         # exact-by-construction instead of sampled)
+        # candidate-bases, not a single strip: a canonical base-36
+        # name can itself end in 's', so "strip one trailing s" would
+        # split that family and undercount truth (same ambiguity the
+        # pytest bases() helper handles) — map each surface to EVERY
+        # plausible base and join on any shared one
+        stripped = F.regexp_replace(F.col("mention"), "^the ", "")
         fam = mentions.select(
             "mention",
-            F.regexp_replace(
-                F.regexp_replace(F.col("mention"), "^the ", ""),
-                "(-inc|s)$", "").alias("_base"))
+            F.explode(F.array_distinct(F.array(
+                stripped,
+                F.regexp_replace(stripped, "-inc$", ""),
+                F.regexp_replace(stripped, "s$", ""))))
+            .alias("_base"))
         fpairs = (fam.alias("a").join(fam.alias("b"), "_base")
                   .where(F.col("a.mention") < F.col("b.mention"))
                   .select(F.col("a.mention").alias("mention_a"),
-                          F.col("b.mention").alias("mention_b")))
+                          F.col("b.mention").alias("mention_b"))
+                  .distinct())
         truth = score_pairs(fpairs, min_jaccard=0.5).persist()
         n_truth = truth.count()
         n_found = truth.join(scored, ["mention_a", "mention_b"],

@@ -29,8 +29,18 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays (native, no UDF)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two double arrays (native, no UDF).
+
+    NULL (not an error) when either vector has zero norm: under this
+    project's ANSI-on session a bare division raises DIVIDE_BY_ZERO
+    the moment an upstream embedder emits an all-zero vector (e.g. a
+    count-style embedder on empty text), crashing the whole job; a
+    NULL sim simply fails every `sim > threshold` admission test —
+    the same no-link outcome the streaming linker's zero-norm skip
+    produces, keeping the batch and stateful J3 paths equal on this
+    input too."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0.0, _dot(a, b) / denom)
 
 
 def _as_double(col: str) -> Column:

@@ -153,7 +153,9 @@ def near_dedup(df: DataFrame, text_col: str = "text",
                jaccard_distance: float = 0.3,
                min_exact_jaccard: float = 0.7,
                num_hash_tables: int = 6, shingle: int = 8,
-               blocking: str = "banded") -> DataFrame:
+               blocking: str = "banded",
+               n_bands: int = 20, rows_per_band: int = 3,
+               bucket_cap: int = 1024) -> DataFrame:
     """The production near-duplicate dedup composition:
 
         MinHash-LSH blocking  ->  exact shingle-Jaccard verify
@@ -186,9 +188,20 @@ def near_dedup(df: DataFrame, text_col: str = "text",
     grams = shingle_sets(df, text_col, id_col, shingle).persist()
     if blocking == "banded":
         # native banded blocking (see minhash_lsh_pairs_banded): the
-        # path that survives boilerplate-heavy corpora at scale
-        pairs = minhash_lsh_pairs_banded(df, text_col, id_col,
-                                         shingle, grams=grams)
+        # path that survives boilerplate-heavy corpora at scale.
+        # jaccard_distance/num_hash_tables are ml-blocking knobs: a
+        # caller who tuned them must not silently get fixed banding,
+        # so a non-default value here fails loudly instead.
+        if jaccard_distance != 0.3 or num_hash_tables != 6:
+            raise ValueError(
+                "jaccard_distance/num_hash_tables tune the ml "
+                "blocking; with blocking='banded' tune n_bands/"
+                "rows_per_band/bucket_cap instead (or pass "
+                "blocking='ml' to keep the ml path)")
+        pairs = minhash_lsh_pairs_banded(
+            df, text_col, id_col, shingle, grams=grams,
+            n_bands=n_bands, rows_per_band=rows_per_band,
+            bucket_cap=bucket_cap)
     else:
         pairs = minhash_lsh_pairs(df, text_col, id_col,
                                   jaccard_distance, num_hash_tables,

@@ -60,6 +60,14 @@ def banded_minhash_pairs(sets_df: DataFrame, id_col: str,
                        F.col("bk.sig").alias("sig")))
     sized = buckets.withColumn(
         "_bsize", F.count("*").over(Window.partitionBy("band", "sig")))
+    if return_stats:
+        # the stats aggregation is an eager action; without a cache it
+        # would run the full signature+window job once here and AGAIN
+        # when the caller materializes the pairs (measured: doubled
+        # lsh wall at 6M triples).  Persist the sized bucket frame so
+        # both read one computation; the frame is handed back in the
+        # stats dict for the caller to unpersist when done.
+        sized = sized.persist()
     ok = sized.where(F.col("_bsize") <= bucket_cap).drop("_bsize")
     a = ok.select("band", "sig", F.col(id_col).alias("id_a"))
     b = ok.select("band", "sig", F.col(id_col).alias("id_b"))
@@ -83,4 +91,7 @@ def banded_minhash_pairs(sets_df: DataFrame, id_col: str,
                    "n_dropped_buckets": agg["n_dropped_buckets"],
                    "n_dropped_rows": agg["n_dropped_rows"],
                    "max_bucket": agg["max_bucket"],
-                   "bucket_cap": bucket_cap}
+                   "bucket_cap": bucket_cap,
+                   # persisted upstream of the pairs plan — unpersist
+                   # after materializing pairs to release the cache
+                   "bucket_frame": sized}

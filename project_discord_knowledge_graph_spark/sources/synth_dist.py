@@ -145,8 +145,10 @@ def zipf_triples_df(spark: SparkSession, n_triples: int,
     Zipf-like (log-uniform rank) distribution over `n_entities`
     canonical entities — the adversarial entity-cardinality shape the
     toy pipeline corpus (43 canonical nodes) never exercises: a heavy
-    head (rank 1 absorbs ~1/ln(E) of all occurrences — the skew the
-    salted aggregation exists for), a long near-singleton tail, and
+    head (rank r is drawn as floor(E^u)+1, so the heaviest entity is
+    rank 2 absorbing ~ln(2)/ln(E) of all occurrences — ~4.8% at
+    E=2M, the skew the salted aggregation exists for), a long
+    near-singleton tail, and
     NEAR-DUP SURFACE VARIANTS (30% of occurrences spell the entity as
     base+'s' / 'the '+base / base+'-inc', all within trigram-Jaccard
     0.5 of the base) forming the tail clusters MinHash-LSH blocking

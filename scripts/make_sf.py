@@ -12,9 +12,12 @@ rather than the engine.  Specifics:
 - customer/supplier/part/orders/lineitem: all *key columns shifted
   consistently; attribute columns untouched, so per-key distributions
   match sf0.1 exactly and only the key cardinality grows.
-- events: event_id/user_id shifted — author/segment universes grow
-  10x, per-segment densities stay flat (the QA link joins then scale
-  linearly, as they would on a genuinely bigger corpus).
+- events: event_id/user_id shifted — the SEGMENT universe grows 10x
+  at flat per-segment density (segment_id derives from event_id, so
+  the QA link joins scale linearly, as on a genuinely bigger
+  corpus).  The author universe does NOT grow: events_messages
+  derives author as user_id % 7, which is invariant to the offset —
+  author-keyed aggregates see 10x-deeper groups, not more groups.
 - documents: doc_id shifted; text gets a per-replica tag so
   exact/near-dup cluster sizes stay flat instead of every document
   gaining 9 perfect duplicates.

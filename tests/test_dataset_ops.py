@@ -272,7 +272,8 @@ def test_near_dedup_composition(spark):
         rows.append((2 * d + 1, " ".join(pert)))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out_df = near_dedup(docs, jaccard_distance=0.4,
-                        min_exact_jaccard=0.7, shingle=6)
+                        min_exact_jaccard=0.7, shingle=6,
+                        blocking="ml")
     out = {r.doc_id: (r.keep_id, r.is_dup) for r in out_df.collect()}
     assert len(out) == 30
     collapsed = 0

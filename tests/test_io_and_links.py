@@ -180,3 +180,35 @@ def test_semantic_linker_lsh_blocked_recall(spark):
     # requires the production precomputed-vector shape
     with pytest.raises(ValueError, match="q_vec"):
         link_by_similarity_lsh(questions.drop("q_vec"), answers)
+
+
+def test_semantic_linker_zero_norm_vector_no_crash(spark, qa_messages):
+    """Review regression: under the ANSI-on session a bare cosine
+    division raises DIVIDE_BY_ZERO on a zero-norm vector (an empty
+    text through a count-style embedder).  cosine_expr must yield
+    NULL instead — no link, no crash — matching the stateful
+    streaming linker's zero-norm skip."""
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        def vec(t):
+            v = [0.0] * 8
+            for w in (t or "").split():
+                if t != "":  # 'a3' gets the zero vector below
+                    v[len(w) % 8] += 1.0
+            return v
+        return texts.map(vec)
+
+    from project_discord_knowledge_graph_spark.operators.link import (
+        link_by_similarity, split_qa,
+    )
+
+    # force a3's text empty -> zero vector on the answer side
+    msgs = qa_messages.withColumn(
+        "clean_text",
+        F.when(F.col("message_id") == "a3", F.lit(""))
+        .otherwise(F.col("clean_text")))
+    questions, answers = split_qa(msgs, include_text=True)
+    links = link_by_similarity(questions, answers, embed_udf=embed,
+                               threshold=0.3)
+    got = {(r.subject, r.object) for r in links.collect()}  # no raise
+    assert not any(o == "a3" for _, o in got)
