@@ -665,8 +665,12 @@ def graph_zipf_run() -> dict:
                                    "6000000"))
     n_entities = int(os.environ.get("SPARK_GRAFT_ZIPF_ENTITIES",
                                     "2000000"))
-    spark = get_spark("bench-zipf", master="local[32]",
-                      shuffle_partitions=64)
+    # SPARK_GRAFT_ZIPF_CPUS lets the N-vs-4N scaling evidence cover
+    # the graph stage too (run the same corpus at local[2] and
+    # local[8], same pair as the pipeline scaling legs)
+    cpus = int(os.environ.get("SPARK_GRAFT_ZIPF_CPUS", "32"))
+    spark = get_spark("bench-zipf", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     base = f"{shm}/kg_zipf_{os.getpid()}"
@@ -751,7 +755,8 @@ def graph_zipf_run() -> dict:
         for df in (mentions, cands, scored, cmap):
             df.unpersist()
         return {"metric": "kg_graph_zipf", "value": wall,
-                "unit": "sec", "n_triples": n_triples,
+                "unit": "sec", "cores": cpus,
+                "n_triples": n_triples,
                 "n_entities_universe": n_entities,
                 "n_distinct_mentions": n_mentions,
                 "head_mention_occurrences": head,
