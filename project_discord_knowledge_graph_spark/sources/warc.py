@@ -1,0 +1,106 @@
+"""WARC source: the Common-Crawl-native front door.
+
+The engine's canonical input is the pages table
+`(url, warc_ts, html, text, lang)` (BASELINE input_hint; Iceberg at
+scale, parquet locally).  Real Common-Crawl data lands as WARC files
+(ISO 28500: `WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<payload>\\r\\n\\r\\n`
+records) — this module turns a directory of WARC files into that
+pages table without any per-row Python:
+
+- record SPLITTING is delegated to Hadoop's TextInputFormat with a
+  custom record delimiter (`textinputformat.record.delimiter =
+  "WARC/1.0\\r\\n"`), so files split into records in the input
+  format itself — splittable, streamed, no whole-file reads (the
+  standard Spark technique for record-framed text formats);
+- header PARSING is native Catalyst (`regexp_extract` for
+  WARC-Target-URI / WARC-Date / Content-Type, a split on the first
+  blank line for the payload) — whole-stage-codegen'd, no UDF.
+
+Scope honestly stated: this reader handles `response`-type records
+with TEXT payloads (the synthetic corpus and the HTML pages the
+pipeline consumes; payload bytes are re-encoded utf-8).  Raw
+Common-Crawl WARCs interleave gzip members per record — at
+production that outer gzip is decompressed by the storage layer or
+a preprocessing pass (Common Crawl also publishes the WET text
+extracts in the same framing); a binary-exact gzip-member reader
+would need a custom InputFormat, out of scope for this container.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_DELIM = "WARC/1.0\r\n"
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC directory -> pages table
+    (url, warc_ts timestamp, html binary, text string, lang string).
+
+    Only `WARC-Type: response` records become pages (warcinfo /
+    request / metadata records are dropped).  `text` is NULL — the
+    pipeline's own extractor (pages_to_messages) derives it from
+    html, which keeps the byte-identical-text-per-url contract in
+    ONE place instead of trusting upstream WET text.  `lang` is NULL
+    for the same reason.
+    """
+    conf = {"textinputformat.record.delimiter": _DELIM}
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf=conf).map(lambda kv: (kv[1],))
+    records = spark.createDataFrame(rdd, "record string") \
+        .where(F.length(F.trim("record")) > 0)
+
+    header = F.substring_index("record", "\r\n\r\n", 1)
+    # payload = everything after the first blank line, minus the
+    # record's trailing \r\n\r\n separator
+    payload = F.regexp_replace(
+        F.expr("substring(record, length(substring_index(record, "
+               "'\\r\\n\\r\\n', 1)) + 5)"),
+        "\r\n\r\n$", "")
+
+    def h(name: str):
+        return F.regexp_extract(header, rf"(?m)^{name}:\s*(\S+)", 1)
+
+    return (records
+            .select(h("WARC-Type").alias("_type"),
+                    h("WARC-Target-URI").alias("url"),
+                    F.to_timestamp(h("WARC-Date")).alias("warc_ts"),
+                    payload.alias("_payload"))
+            .where(F.col("_type") == "response")
+            .select("url", "warc_ts",
+                    F.encode("_payload", "utf-8").alias("html"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang")))
+
+
+def write_warc(pages: DataFrame, path: str) -> None:
+    """pages table -> WARC files (one record per page), written
+    distributed: each partition becomes one .warc file via the same
+    native expressions read_warc parses.  Test/bench scaffolding for
+    the round-trip contract AND a valid interchange export."""
+    rec = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: response\r\n"),
+        F.concat(F.lit("WARC-Target-URI: "), F.col("url"),
+                 F.lit("\r\n")),
+        F.concat(F.lit("WARC-Date: "),
+                 # microsecond precision (WARC 1.1 allows fractional
+                 # seconds) so the timestamp round-trips exactly
+                 F.date_format(F.col("warc_ts").cast("timestamp_ltz"),
+                               "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+                 F.lit("\r\n")),
+        F.lit("Content-Type: text/html\r\n"),
+        F.concat(F.lit("Content-Length: "),
+                 F.length(F.col("html")).cast("string"),
+                 F.lit("\r\n")),
+        F.lit("\r\n"),
+        F.decode(F.col("html"), "utf-8"))
+    # the record separator is the writer's lineSep (an empty lineSep
+    # is rejected), so each row writes as
+    # "WARC/1.0\r\n<headers>\r\n\r\n<payload>\r\n\r\n" byte-exactly
+    (pages.select(rec.alias("value"))
+     .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path))

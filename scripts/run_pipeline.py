@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--pages", default=None,
                     help="input pages table path (url, warc_ts, html, "
                          "text, lang)")
+    ap.add_argument("--warc-dir", default=None,
+                    help="WARC directory (Common-Crawl-native front "
+                         "door; records become pages, then the same "
+                         "pipeline)")
     ap.add_argument("--export-json", default=None,
                     help="Discord channel-export JSON path/glob: run "
                          "the export front door (flatten -> classify "
@@ -52,15 +56,28 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    if not args.pages and not args.export_json:
-        ap.error("one of --pages / --export-json is required")
+    if not args.pages and not args.export_json and not args.warc_dir:
+        ap.error("one of --pages / --export-json / --warc-dir is "
+                 "required")
     if args.pages and not args.lineage:
         ap.error("--lineage is required with --pages")
 
     from project_discord_knowledge_graph_spark.session import get_spark
     spark = get_spark("kg-pipeline", master=args.master)
 
-    if args.export_json:
+    if args.warc_dir:
+        from project_discord_knowledge_graph_spark.plans.pipeline import (
+            build_triples,
+        )
+        from project_discord_knowledge_graph_spark.sources.warc import (
+            read_warc,
+        )
+        triples = build_triples(read_warc(spark, args.warc_dir))
+        triples.write.mode("overwrite").parquet(f"{args.out}/triples")
+        print(json.dumps({
+            "triples_out":
+                spark.read.parquet(f"{args.out}/triples").count()}))
+    elif args.export_json:
         from project_discord_knowledge_graph_spark.plans.pipeline import (
             build_triples_from_export,
         )
