@@ -33,17 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _DELIM = "WARC/1.0\r\n"
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC directory -> pages table
-    (url, warc_ts timestamp, html binary, text string, lang string).
-
-    Only `WARC-Type: response` records become pages (warcinfo /
-    request / metadata records are dropped).  `text` is NULL — the
-    pipeline's own extractor (pages_to_messages) derives it from
-    html, which keeps the byte-identical-text-per-url contract in
-    ONE place instead of trusting upstream WET text.  `lang` is NULL
-    for the same reason.
-    """
+def _records(spark: SparkSession, path: str):
+    """Directory of WARC-framed files -> (record string) rows plus
+    the shared header/payload expressions — the one splitting +
+    framing implementation both read_warc and read_wet parse."""
     conf = {"textinputformat.record.delimiter": _DELIM}
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,
@@ -53,7 +46,6 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         conf=conf).map(lambda kv: (kv[1],))
     records = spark.createDataFrame(rdd, "record string") \
         .where(F.length(F.trim("record")) > 0)
-
     header = F.substring_index("record", "\r\n\r\n", 1)
     # payload = everything after the first blank line, minus the
     # record's trailing \r\n\r\n separator
@@ -65,6 +57,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def h(name: str):
         return F.regexp_extract(header, rf"(?m)^{name}:\s*(\S+)", 1)
 
+    return records, payload, h
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC directory -> pages table
+    (url, warc_ts timestamp, html binary, text string, lang string).
+
+    Only `WARC-Type: response` records become pages (warcinfo /
+    request / metadata records are dropped).  `text` is NULL — the
+    pipeline's own extractor (pages_to_messages) derives it from
+    html, which keeps the byte-identical-text-per-url contract in
+    ONE place instead of trusting upstream WET text.  `lang` is NULL
+    for the same reason.
+    """
+    records, payload, h = _records(spark, path)
     return (records
             .select(h("WARC-Type").alias("_type"),
                     h("WARC-Target-URI").alias("url"),
@@ -103,4 +110,47 @@ def write_warc(pages: DataFrame, path: str) -> None:
     # is rejected), so each row writes as
     # "WARC/1.0\r\n<headers>\r\n\r\n<payload>\r\n\r\n" byte-exactly
     (pages.select(rec.alias("value"))
+     .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path))
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET directory (Common Crawl's text extracts: same ISO-28500
+    framing, `WARC-Type: conversion`, text payload) -> document table
+    (url, warc_ts, text, n_chars).
+
+    WET records carry NO html and no page <meta> fields, so they
+    cannot feed the message pipeline (message_id/author/channel come
+    from the page markup — pages_to_messages would drop every row);
+    their home is the corpus-curation family: exact/near dedup, text
+    metrics, language ID over `text` (operators/dataset.py,
+    functions/textmetrics.py take id/text column names).
+    """
+    records, payload, h = _records(spark, path)
+    return (records
+            .select(h("WARC-Type").alias("_type"),
+                    h("WARC-Target-URI").alias("url"),
+                    F.to_timestamp(h("WARC-Date")).alias("warc_ts"),
+                    payload.alias("text"))
+            .where(F.col("_type") == "conversion")
+            .select("url", "warc_ts", "text",
+                    F.length("text").cast("long").alias("n_chars")))
+
+
+def write_wet(docs: DataFrame, path: str,
+              url_col: str = "url", ts_col: str = "warc_ts",
+              text_col: str = "text") -> None:
+    """documents -> WET files (conversion records), distributed."""
+    rec = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.concat(F.lit("WARC-Target-URI: "), F.col(url_col),
+                 F.lit("\r\n")),
+        F.concat(F.lit("WARC-Date: "),
+                 F.date_format(F.col(ts_col).cast("timestamp_ltz"),
+                               "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+                 F.lit("\r\n")),
+        F.lit("Content-Type: text/plain\r\n"),
+        F.lit("\r\n"),
+        F.col(text_col))
+    (docs.select(rec.alias("value"))
      .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path))

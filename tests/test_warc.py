@@ -51,3 +51,41 @@ def test_warc_pages_feed_the_pipeline(spark, tmp_path):
     got = {(r.message_id, r.clean_text, r.segment_id)
            for r in pages_to_messages(read_warc(spark, out)).collect()}
     assert got == want and want
+
+
+def test_wet_round_trip_feeds_dedup(spark, tmp_path):
+    """WET (conversion) records round-trip and feed the corpus-
+    curation family: near-dup docs written as WET, read back, and
+    deduped by the banded near_dedup."""
+    from project_discord_knowledge_graph_spark.operators.dataset import (
+        near_dedup,
+    )
+    from project_discord_knowledge_graph_spark.sources.warc import (
+        read_wet, write_wet,
+    )
+
+    rows = [
+        ("u://a", "2024-01-01 00:00:00",
+         "the quick brown fox jumps over the lazy dog tonight"),
+        ("u://b", "2024-01-01 00:01:00",
+         "the quick brown fox jumps over the lazy dog tonight!"),
+        ("u://c", "2024-01-01 00:02:00",
+         "a completely different payload with no shared shingles"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, ts string, text string") \
+        .withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+    out = str(tmp_path / "wet")
+    write_wet(docs, out)
+    back = read_wet(spark, out)
+
+    a = {(r.url, str(r.warc_ts), r.text) for r in docs.collect()}
+    b = {(r.url, str(r.warc_ts), r.text) for r in back.collect()}
+    assert b == a
+    assert {r.n_chars for r in back.collect()} == \
+        {len(t) for _, _, t in rows}
+
+    dd = near_dedup(back, text_col="text", id_col="url",
+                    min_exact_jaccard=0.7)
+    got = {r.url: (r.keep_id, r.is_dup) for r in dd.collect()}
+    assert got["u://b"] == ("u://a", True)   # near-dup collapsed
+    assert got["u://c"] == ("u://c", False)
