@@ -2308,32 +2308,134 @@ FROM lcalls GROUP BY provider, template_type"""
 # and win_top5_per_type (driver-green rounds 2-4).
 # scripts/check_oracles.py runs ALL entries regardless of position and
 # commits the full artifact each round.
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch dir for source-format fixtures (written
+    mode=overwrite, so repeated runs are idempotent)."""
+    import os
+    import tempfile
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(),
+                        f"kg_spark_fixtures_{kind}_{base}")
+
+
+def q_warc_pages(spark, sf_dir):
+    """WARC front door (sources/warc.py::read_warc), oracle-checked
+    end to end: a Common-Crawl-shaped WARC fixture is synthesized
+    deterministically from the documents table — application/http-
+    wrapped payloads with a REAL Content-Length over the HTTP block,
+    exactly how CC frames response records — written with the native
+    lineSep text writer, scanned back with read_warc (all-JVM
+    framing + HTTP-header strip + length guard), and fingerprinted.
+    DuckDB computes the expected (url, ts_epoch, n_bytes, html_md5)
+    directly from documents, so the whole write->frame->parse->strip
+    path is value-verified, not just round-tripped."""
+    from .sources.warc import read_warc
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    url = F.concat(F.lit("http://cc.test/"),
+                   F.col("doc_id").cast("string"))
+    ts = F.timestamp_seconds(F.lit(1709251200) + F.col("doc_id") % 86400)
+    html = F.concat(F.lit("<html><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nContent-Type: application/http; msgtype=response"
+              "\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http)
+    out = _fixture_dir(sf_dir, "warc")
+    (docs.select(rec.alias("value"))
+     .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(out))
+    back = read_warc(spark, out)
+    return back.select(
+        F.col("url"),
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"))
+
+
+SQL_WARC_PAGES = """
+SELECT 'http://cc.test/' || CAST(doc_id AS VARCHAR) AS url,
+       1709251200 + doc_id % 86400 AS ts_epoch,
+       CAST(strlen('<html><body>' || text || '</body></html>')
+            AS BIGINT) AS n_bytes,
+       md5('<html><body>' || text || '</body></html>') AS html_md5
+FROM documents WHERE text IS NOT NULL"""
+
+
+def q_wet_docs(spark, sf_dir):
+    """WET text-extract door (sources/warc.py::read_wet/write_wet),
+    oracle-checked: documents -> WET conversion records (with
+    Content-Length) -> read_wet -> (url, ts_epoch, n_chars,
+    text_md5); DuckDB computes the same from documents directly, so
+    the conversion-record writer AND parser are value-verified."""
+    from .sources.warc import read_wet, write_wet
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wet_in = docs.select(
+        F.concat(F.lit("http://cc.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1709251200) + F.col("doc_id") % 86400)
+         .alias("warc_ts"),
+        F.col("text"))
+    out = _fixture_dir(sf_dir, "wet")
+    write_wet(wet_in, out)
+    back = read_wet(spark, out)
+    return back.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.col("n_chars"),
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"))
+
+
+SQL_WET_DOCS = """
+SELECT 'http://cc.test/' || CAST(doc_id AS VARCHAR) AS url,
+       1709251200 + doc_id % 86400 AS ts_epoch,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents WHERE text IS NOT NULL"""
+
+
+# Ordering contract: the driver snapshots the FIRST 50 names into
+# CORRECTNESS_r{N}.json; everything is additionally value-checked by
+# the full sweep (scripts/check_oracles.py).  Rotation ledger (per-
+# query most recent driver round) lives in COVERAGE.md — names whose
+# last driver row is oldest rotate INTO the window; names green in
+# many consecutive driver rounds rotate out.
 QUERIES: dict[str, tuple[Callable, str | None]] = {
-    "kg_classify_counts": (q_classify_counts, SQL_CLASSIFY_COUNTS),
+    # --- new this round: need a first driver row ---
+    "warc_pages": (q_warc_pages, SQL_WARC_PAGES),
+    "wet_docs": (q_wet_docs, SQL_WET_DOCS),
+    # --- rotated back in: last driver row r3/r4 ---
+    "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
+    "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
+    "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
+    "agg_top_users": (q_top_users, SQL_TOP_USERS),
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5_region_revenue": (q_tpch_q5, SQL_TPCH_Q5),
+    "setop_lapsed_users": (q_setop_lapsed_users, SQL_SETOP_LAPSED),
+    "agg_user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
+    "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
+    "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    # --- driver-green <= 3 consecutive rounds: stay in the window ---
     "kg_classify_zero_shot": (q_classify_zero_shot,
                               SQL_CLASSIFY_ZERO_SHOT),
-    "kg_extract_question": (q_extract_question, SQL_EXTRACT_QUESTION),
-    "kg_extract_answer": (q_extract_answer, SQL_EXTRACT_ANSWER),
-    "kg_extract_alert": (q_extract_alert, SQL_EXTRACT_ALERT),
-    "kg_extract_strategy": (q_extract_strategy, SQL_EXTRACT_STRATEGY),
-    "kg_extract_signal": (q_extract_signal, SQL_EXTRACT_SIGNAL),
-    "kg_extract_performance": (q_extract_performance,
-                               SQL_EXTRACT_PERFORMANCE),
-    "kg_extract_analysis": (q_extract_analysis, SQL_EXTRACT_ANALYSIS),
-    "kg_extract_discussion": (q_extract_discussion, SQL_EXTRACT_DISCUSSION),
-    "kg_triples_dedup": (q_triples_dedup, SQL_TRIPLES_DEDUP),
-    "kg_link_replies": (q_link_replies, SQL_LINK_REPLIES),
-    "kg_link_mentions": (q_link_mentions, SQL_LINK_MENTIONS),
     "kg_link_semantic": (q_link_semantic, SQL_LINK_SEMANTIC),
     "kg_link_semantic_lsh": (q_link_semantic_lsh,
                              SQL_LINK_SEMANTIC_LSH),
     "llm_cost_estimate": (q_llm_cost_estimate, SQL_LLM_COST_ESTIMATE),
-    "agg_confidence_stats": (q_confidence_stats, SQL_CONFIDENCE_STATS),
-    "agg_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "win_session_counts": (q_session_counts, SQL_SESSION_COUNTS),
     "agg_json_props": (q_json_props, SQL_JSON_PROPS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_signatures": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -2366,20 +2468,23 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "kg_extractions_per_day": (q_extractions_per_day,
                                SQL_EXTRACTIONS_PER_DAY),
     "kg_attribute_outputs": (q_attribute_outputs, SQL_ATTRIBUTE_OUTPUTS),
-    # --- position > 50: driver-green in consecutive rounds, rotated
-    # out so the families above get an on-record driver row ---
-    "agg_pred_histogram": (q_pred_histogram, SQL_PRED_HISTOGRAM),
-    "win_top5_per_type": (q_top5_per_type, SQL_TOP5_PER_TYPE),
-    "agg_hourly_events": (q_hourly_events, SQL_HOURLY_EVENTS),
-    "agg_top_users": (q_top_users, SQL_TOP_USERS),
-    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
-    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
-    "tpch_q5_region_revenue": (q_tpch_q5, SQL_TPCH_Q5),
-    "setop_lapsed_users": (q_setop_lapsed_users, SQL_SETOP_LAPSED),
-    "agg_user_type_profile": (q_user_type_profile, SQL_USER_TYPE_PROFILE),
-    "join_part_rollup": (q_part_supplier_rollup, SQL_PART_SUPPLIER_ROLLUP),
-    "sample_first_last": (q_sample_first_last, SQL_SAMPLE_FIRST_LAST),
-    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
-    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
-    "scalar_url_domains": (q_url_domains, SQL_URL_DOMAINS),
+    # --- position > 50: driver-green rounds 1-5 consecutively,
+    # rotated out so the names above get an on-record driver row ---
+    "kg_classify_counts": (q_classify_counts, SQL_CLASSIFY_COUNTS),
+    "kg_extract_question": (q_extract_question, SQL_EXTRACT_QUESTION),
+    "kg_extract_answer": (q_extract_answer, SQL_EXTRACT_ANSWER),
+    "kg_extract_alert": (q_extract_alert, SQL_EXTRACT_ALERT),
+    "kg_extract_strategy": (q_extract_strategy, SQL_EXTRACT_STRATEGY),
+    "kg_extract_signal": (q_extract_signal, SQL_EXTRACT_SIGNAL),
+    "kg_extract_performance": (q_extract_performance,
+                               SQL_EXTRACT_PERFORMANCE),
+    "kg_extract_analysis": (q_extract_analysis, SQL_EXTRACT_ANALYSIS),
+    "kg_extract_discussion": (q_extract_discussion, SQL_EXTRACT_DISCUSSION),
+    "kg_triples_dedup": (q_triples_dedup, SQL_TRIPLES_DEDUP),
+    "kg_link_replies": (q_link_replies, SQL_LINK_REPLIES),
+    "kg_link_mentions": (q_link_mentions, SQL_LINK_MENTIONS),
+    "agg_confidence_stats": (q_confidence_stats, SQL_CONFIDENCE_STATS),
+    "agg_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_dedup_minhash, SQL_DEDUP_MINHASH),
 }

@@ -89,3 +89,111 @@ def test_wet_round_trip_feeds_dedup(spark, tmp_path):
     got = {r.url: (r.keep_id, r.is_dup) for r in dd.collect()}
     assert got["u://b"] == ("u://a", True)   # near-dup collapsed
     assert got["u://c"] == ("u://c", False)
+
+
+def _record(typ, url, payload, ctype="text/html", clen=None):
+    body = payload
+    if clen is None:
+        clen = len(body.encode())
+    return (f"WARC/1.0\r\nWARC-Type: {typ}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {clen}\r\n\r\n{body}\r\n\r\n")
+
+
+def test_warc_scan_is_all_jvm(spark, tmp_path):
+    """The 100-TB front door has NO Python stage: neither a
+    PythonRDD nor a BatchEvalPython/ArrowEvalPython node may appear
+    in the WARC scan plan (round-5 verdict: the old
+    newAPIHadoopFile framing shipped every record JVM->Python->JVM)."""
+    from project_discord_knowledge_graph_spark.sources.warc import (
+        read_wet,
+    )
+    pages = pages_df(spark, 20, seed=30)
+    out = str(tmp_path / "warc")
+    write_warc(pages, out)
+    for df in (read_warc(spark, out), read_wet(spark, out)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
+        assert "Scan text" in plan or "FileScan" in plan, plan
+
+
+def test_warc_gzip_members_end_to_end(spark, tmp_path):
+    """Common Crawl's actual layout — one gzip member per record,
+    concatenated — reads through the same scan (Hadoop multi-member
+    GzipCodec) and feeds near_dedup end-to-end."""
+    import gzip
+
+    from project_discord_knowledge_graph_spark.operators.dataset import (
+        near_dedup,
+    )
+    from project_discord_knowledge_graph_spark.sources.warc import (
+        read_wet,
+    )
+
+    texts = {
+        "u://a": "the quick brown fox jumps over the lazy dog tonight",
+        "u://b": "the quick brown fox jumps over the lazy dog tonight!",
+        "u://c": "a completely different payload with no shared shingles",
+    }
+    d = tmp_path / "wetgz"
+    d.mkdir()
+    with open(d / "part-0.wet.gz", "wb") as f:
+        for url, t in texts.items():
+            f.write(gzip.compress(
+                _record("conversion", url, t,
+                        ctype="text/plain").encode()))
+    back = read_wet(spark, str(d))
+    assert {(r.url, r.text) for r in back.collect()} == \
+        set(texts.items())
+
+    dd = near_dedup(back, text_col="text", id_col="url",
+                    min_exact_jaccard=0.7)
+    got = {r.url: (r.keep_id, r.is_dup) for r in dd.collect()}
+    assert got["u://b"] == ("u://a", True)
+    assert got["u://c"] == ("u://c", False)
+
+
+def test_warc_http_payload_stripped(spark, tmp_path):
+    """Real CC response records wrap the document in an HTTP
+    response (Content-Type: application/http); read_warc must strip
+    the status line + headers so html is the document alone."""
+    doc = "<html><body>hello crawl</body></html>"
+    http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(doc)}\r\n\r\n{doc}")
+    d = tmp_path / "cc"
+    d.mkdir()
+    with open(d / "f.warc", "w", newline="") as f:
+        f.write(_record("response", "u://h", http,
+                        ctype="application/http; msgtype=response"))
+        f.write(_record("response", "u://plain", doc))
+    rows = {r.url: bytes(r.html).decode()
+            for r in read_warc(spark, str(d)).collect()}
+    assert rows == {"u://h": doc, "u://plain": doc}
+
+
+def test_warc_content_length_quarantine(spark, tmp_path):
+    """A payload containing the record delimiter splits the record;
+    Content-Length catches the truncation and the row is quarantined
+    (dropped by default, visible with on_length_mismatch='keep') —
+    never silently emitted corrupt.  The spurious tail fragment has
+    no WARC headers and is dropped by the type filter."""
+    evil = ("before the fake header\r\n\r\nWARC/1.0\r\n"
+            "and after it")
+    good = "an honest payload"
+    d = tmp_path / "split"
+    d.mkdir()
+    with open(d / "f.warc", "w", newline="") as f:
+        f.write(_record("response", "u://evil", evil))
+        f.write(_record("response", "u://good", good))
+
+    got = read_warc(spark, str(d))
+    assert {r.url for r in got.collect()} == {"u://good"}
+
+    kept = read_warc(spark, str(d), on_length_mismatch="keep")
+    assert {r.url for r in kept.collect()} == {"u://evil", "u://good"}
+
+    import pytest
+    with pytest.raises(ValueError):
+        read_warc(spark, str(d), on_length_mismatch="explode")
