@@ -290,14 +290,31 @@ def cc_deep_run() -> dict:
     try:
         edges = spark.range(n - 1).select(
             F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        # leg 1 — PURE alternating algorithm (threshold=0): the
+        # rounds-vs-log2(n) trend this bench exists to track
         t0 = time.perf_counter()
-        labels, stats = connected_components(edges, return_stats=True)
+        labels, stats = connected_components(edges, return_stats=True,
+                                             local_finish_threshold=0)
         n_comp = labels.select("component").distinct().count()
         wall = round(time.perf_counter() - t0, 3)
         assert n_comp == 1 and stats["converged"], (n_comp, stats)
+        # leg 2 — production default (hybrid local-finish): same
+        # labels, fewer floor-bound rounds when the residual edge
+        # list fits the finisher (a single chain's fixpoint is n-1
+        # edges, so above the threshold the legs coincide)
+        t0 = time.perf_counter()
+        labels2, stats2 = connected_components(edges, return_stats=True)
+        n_comp2 = labels2.select("component").distinct().count()
+        wall2 = round(time.perf_counter() - t0, 3)
+        assert n_comp2 == 1 and stats2["converged"], (n_comp2, stats2)
         return {"metric": "cc_deep_chain", "nodes": n,
                 "rounds": stats["rounds"], "value": wall,
-                "unit": "sec", "components": n_comp, **_prov()}
+                "unit": "sec", "components": n_comp,
+                "hybrid_wall_sec": wall2,
+                "hybrid_rounds": stats2["rounds"],
+                "hybrid_local_finish": stats2["local_finish"],
+                "hybrid_residual_edges": stats2["residual_edges"],
+                **_prov()}
     finally:
         spark.stop()
 

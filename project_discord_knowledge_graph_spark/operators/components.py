@@ -88,19 +88,88 @@ def _fingerprint(edges: DataFrame) -> tuple:
     return (row.n, row.h)
 
 
+def _local_finish(edges: DataFrame) -> DataFrame:
+    """Single-task union-find over the residual edge list -> star
+    forest (node, min-of-component), the same fixpoint shape the
+    alternating rounds converge to.
+
+    This is the hybrid finisher: each alternating round costs three
+    shuffles and ~1.5 s of scheduling floor in local mode (constant
+    in data volume — measured in BENCH.md), while the edge list
+    shrinks geometrically; once it is below local_finish_threshold
+    the remaining O(log n) rounds are pure floor.  One
+    coalesce(1) + Arrow-batched mapInPandas task replaces them all.
+    Python here is BOUNDED small-side work (<= threshold rows, the
+    same exemption class as lineage/multimodal) — never the full
+    edge set: the distributed rounds do the data-volume work first.
+    Union always attaches the larger root under the smaller, so each
+    final root is its component's minimum id — byte-identical labels
+    to the pure alternating fixpoint."""
+    schema = edges.schema
+
+    def fin(batches):
+        import pandas as pd
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        us, vs = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                us.append(x)
+                vs.append(r)
+        yield pd.DataFrame({"u": us, "v": vs})
+
+    return edges.coalesce(1).mapInPandas(fin, schema)
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 50,
                          check_every: int = 1,
                          reliable_checkpoint: bool = False,
                          on_nonconverged: str = "raise",
+                         local_finish_threshold: int = 1_000_000,
                          return_stats: bool = False):
     """edges(src, dst) -> (node, component) with component = min
     member id of the node's connected component (ids compare by the
     column's natural ordering; strings compare lexicographically).
 
     Isolated self-loop nodes keep their own id as the component.
-    With return_stats=True also returns {'rounds': int,
-    'converged': bool} (each round = one large-star + one small-star).
+
+    Hybrid execution: alternating large-star/small-star rounds while
+    the edge list is big (that is where the data volume lives), then
+    a single-task union-find finisher once the list drops to
+    local_finish_threshold edges (see _local_finish) — identical
+    labels, minus the per-round scheduling floor of the long
+    convergence tail.  The default (1M edges) bounds the finisher
+    task at roughly 0.5 GB for string ids — raise it only with the
+    executor memory to back it.  Set local_finish_threshold=0 for the pure
+    alternating algorithm (bench.py --cc uses that to measure the
+    rounds-vs-log(n) trend).
+
+    With return_stats=True also returns {'rounds': int, 'converged':
+    bool, 'local_finish': bool, 'residual_edges': int} (each round =
+    one large-star + one small-star; residual_edges = edge-list size
+    the finisher absorbed, 0 when it never fired).
     """
     e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
           .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
@@ -114,11 +183,11 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     prev_fp = None
     converged = False
+    local_finish = False
+    residual = 0
     rounds = 0
-    for it in range(max_iter):
-        cur = _small_star(_large_star(cur))
-        rounds = it + 1
-        if rounds % check_every == 0 or rounds == max_iter:
+    for it in range(max_iter + 1):
+        if it % check_every == 0 or it == max_iter:
             cur = (cur.checkpoint(eager=True) if reliable_checkpoint
                    else cur.localCheckpoint(eager=True))
             fp = _fingerprint(cur)
@@ -126,6 +195,17 @@ def connected_components(edges: DataFrame, src: str = "src",
                 converged = True
                 break
             prev_fp = fp
+            if (local_finish_threshold
+                    and fp[0] <= local_finish_threshold):
+                residual = fp[0]
+                cur = _local_finish(cur)
+                converged = True
+                local_finish = True
+                break
+        if it == max_iter:
+            break
+        cur = _small_star(_large_star(cur))
+        rounds = it + 1
 
     if not converged:
         msg = (f"connected_components did not converge within "
@@ -142,5 +222,7 @@ def connected_components(edges: DataFrame, src: str = "src",
               .agg(F.min(F.coalesce("component", "node"))
                    .alias("component")))
     if return_stats:
-        return labels, {"rounds": rounds, "converged": converged}
+        return labels, {"rounds": rounds, "converged": converged,
+                        "local_finish": local_finish,
+                        "residual_edges": residual}
     return labels

@@ -41,12 +41,16 @@ def test_long_chain_converges(spark):
     # pathological diameter-300 path: min-label propagation would need
     # ~300 rounds; the alternating star algorithm must finish in
     # O(log^2 n) — well under 20 double-rounds empirically.
+    # local_finish_threshold=0 pins the PURE alternating path (the
+    # default hybrid would absorb a 300-edge graph instantly).
     n = 300
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["src", "dst"])
-    labels, stats = connected_components(edges, return_stats=True)
+    labels, stats = connected_components(edges, return_stats=True,
+                                         local_finish_threshold=0)
     comps = labels.collect()
     assert stats["converged"]
+    assert not stats["local_finish"]
     assert stats["rounds"] <= 20
     assert {r.component for r in comps} == {0}
     assert len(comps) == n + 1
@@ -57,7 +61,56 @@ def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], ["src", "dst"])
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1,
+                             local_finish_threshold=0)
+
+
+def test_local_finish_matches_pure_algorithm(spark):
+    """Hybrid finisher contract: identical (node, component) labels
+    to the pure alternating fixpoint, on a graph mixing chains,
+    stars, singleton self-loops, and duplicate/reversed edges."""
+    import random
+    rng = random.Random(99)
+    edges = []
+    # 30 random components over 400 nodes
+    nodes = list(range(400))
+    rng.shuffle(nodes)
+    for ci in range(30):
+        members = nodes[ci * 13:(ci + 1) * 13]
+        for a, b in zip(members, members[1:]):
+            edges.append((a, b) if rng.random() < .5 else (b, a))
+    edges.append((999, 999))          # self-loop singleton
+    edges += edges[:10]               # duplicates
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    pure = connected_components(df, local_finish_threshold=0)
+    hyb, stats = connected_components(df, local_finish_threshold=10**6,
+                                      return_stats=True)
+    assert stats["local_finish"] and stats["converged"]
+    assert stats["rounds"] == 0 and stats["residual_edges"] > 0
+    assert sorted(map(tuple, hyb.collect())) == \
+        sorted(map(tuple, pure.collect()))
+
+
+def test_local_finish_after_rounds(spark):
+    """Threshold between start size and fixpoint size: the hybrid
+    runs real alternating rounds first (they do the volume work —
+    a dense graph's edge list shrinks toward n_nodes-1), THEN hands
+    the shrunken list to the finisher — and still matches the pure
+    labels (string ids exercise lexicographic min)."""
+    import random
+    rng = random.Random(7)
+    # dense: 2000 edges over 300 nodes -> fixpoint < 300 edges
+    edges = spark.createDataFrame(
+        [(f"n{rng.randrange(300):03d}", f"n{rng.randrange(300):03d}")
+         for _ in range(2000)], ["src", "dst"])
+    pure = connected_components(edges, local_finish_threshold=0)
+    hyb, stats = connected_components(edges, local_finish_threshold=400,
+                                      return_stats=True)
+    assert stats["local_finish"] and stats["rounds"] >= 1
+    assert 0 < stats["residual_edges"] <= 400
+    assert sorted(map(tuple, hyb.collect())) == \
+        sorted(map(tuple, pure.collect()))
 
 
 @pytest.fixture(scope="module")
