@@ -278,10 +278,14 @@ def session_counts(pages_stream: DataFrame, gap: str = "5 minutes",
 STATEFUL_LINK_SCHEMA = ("subject string, predicate string, "
                         "object string, message_id string, "
                         "segment_id string, confidence double")
+# ONE state schema for both semantic modes: q_vecs is always carried
+# (empty arrays when semantic=False).  A mode-dependent schema would
+# make flipping `semantic` against an existing checkpoint fail with
+# an opaque state-deserialization error; with the stable schema the
+# flip restarts cleanly — questions registered while semantic=False
+# simply have no vector and never link semantically.
 _LINK_STATE_SCHEMA = ("q_ids array<string>, q_authors array<string>, "
-                      "q_ts array<string>")
-_LINK_STATE_SCHEMA_SEM = (_LINK_STATE_SCHEMA
-                          + ", q_vecs array<array<double>>")
+                      "q_ts array<string>, q_vecs array<array<double>>")
 
 
 def _round6_half_up(x: float) -> float:
@@ -362,7 +366,15 @@ def stateful_link_qa(messages: DataFrame,
     is the rounded cosine.  Questions with a NULL/empty vec register
     for J1/J2 but never link semantically (stored as empty vectors).
     State cost: one dim-length double array per open question —
-    bounded by the same event-time prune as the id/author arrays."""
+    bounded by the same event-time prune as the id/author arrays.
+
+    The state schema is the SAME for both modes (q_vecs always
+    present, empty when semantic=False), so the `semantic` flag can
+    be flipped against an existing checkpoint: the stream restarts
+    cleanly, and questions registered while semantic was off carry
+    no vector (they keep linking by reply/mention only) — tested in
+    tests/test_streaming.py::test_semantic_flag_flip_keeps_checkpoint.
+    """
     from collections.abc import Iterator
 
     from pyspark.sql.streaming.state import (
@@ -403,9 +415,11 @@ def stateful_link_qa(messages: DataFrame,
         if state.exists:
             st = state.get
         else:
-            st = ([], [], [], []) if semantic else ([], [], [])
+            st = ([], [], [], [])
         q_ids, q_authors, q_ts = st[0], st[1], st[2]
-        q_vecs = (st[3] if semantic else [None] * len(q_ids))
+        # len guard: tolerate a pre-q_vecs 3-tuple checkpoint
+        q_vecs = (st[3] if len(st) > 3 and st[3] is not None
+                  else [[]] * len(q_ids))
         open_qs = {i: (a, t, v) for i, a, t, v
                    in zip(q_ids, q_authors, q_ts, q_vecs)}
         out = []
@@ -434,7 +448,7 @@ def stateful_link_qa(messages: DataFrame,
 
         def _vec_of(r):
             if not semantic:
-                return None
+                return []
             v = r.vec
             return [] if v is None or len(v) == 0 else [float(x)
                                                         for x in v]
@@ -518,12 +532,10 @@ def stateful_link_qa(messages: DataFrame,
             return True if d is None else d >= cut_dt
 
         open_qs = {i: v for i, v in open_qs.items() if _keep(v[1])}
-        new_state = [list(open_qs.keys()),
-                     [a for a, _, _ in open_qs.values()],
-                     [t for _, t, _ in open_qs.values()]]
-        if semantic:
-            new_state.append([v for _, _, v in open_qs.values()])
-        state.update(tuple(new_state))
+        state.update((list(open_qs.keys()),
+                      [a for a, _, _ in open_qs.values()],
+                      [t for _, t, _ in open_qs.values()],
+                      [v if v else [] for _, _, v in open_qs.values()]))
         yield pd.DataFrame(out, columns=cols)
 
     in_cols = ["segment_id", "message_id", "type", "author",
@@ -534,9 +546,7 @@ def stateful_link_qa(messages: DataFrame,
             .select(*in_cols)
             .groupBy("segment_id")
             .applyInPandasWithState(
-                link, STATEFUL_LINK_SCHEMA,
-                _LINK_STATE_SCHEMA_SEM if semantic
-                else _LINK_STATE_SCHEMA,
+                link, STATEFUL_LINK_SCHEMA, _LINK_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
 
 

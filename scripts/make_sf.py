@@ -16,7 +16,9 @@ rather than the engine.  Specifics:
   at flat per-segment density (segment_id derives from event_id, so
   the QA link joins scale linearly, as on a genuinely bigger
   corpus).  The author universe does NOT grow: events_messages
-  derives author as user_id % 7, which is invariant to the offset —
+  derives author as user_id % 7, so replica users still land in
+  {u0..u6} — the offset permutes which of the 7 authors a replica
+  row maps to (KEY_OFFSET % 7 != 0), but cannot mint new ones —
   author-keyed aggregates see 10x-deeper groups, not more groups.
 - documents: doc_id shifted; text gets a per-replica tag so
   exact/near-dup cluster sizes stay flat instead of every document

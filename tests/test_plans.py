@@ -218,3 +218,26 @@ def test_banded_lsh_reuses_signature_exchange(spark):
     bucket_ex = re.findall(r"\+- Exchange hashpartitioning\(band",
                            plan)
     assert len(bucket_ex) <= 1, plan[:2000]
+
+
+def test_top5_window_rank_limit_pushes_down(spark):
+    """q_top5_per_type windows over low-cardinality event_type; what
+    saves it from a one-task-per-type full sort at scale is Spark's
+    WindowGroupLimit rank pushdown: a PARTIAL top-5 per partition
+    BEFORE the exchange, the Final after.  Pin both so a config or
+    version regression can't silently turn the pattern back into an
+    unbounded per-type sort (it was the worst sf1.0 scaler at 1.9x
+    even WITH the pushdown)."""
+    from project_discord_knowledge_graph_spark.entry_queries import (
+        q_top5_per_type,
+    )
+    plan = _plan(q_top5_per_type(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial",
+                     plan), plan
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Final",
+                     plan), plan
+    # the Partial must sit BELOW the exchange (map-side): in the tree
+    # rendering, upstream nodes print later
+    partial_pos = plan.find("5, Partial")
+    exch_pos = plan.find("Exchange hashpartitioning")
+    assert 0 <= exch_pos < partial_pos, plan

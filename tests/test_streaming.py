@@ -775,3 +775,92 @@ def test_stateful_semantic_links(spark, tmp_path_factory):
         stateful_link_qa(msgs.select(
             "segment_id", "message_id", "type", "author", "mentions",
             "reply_to", "timestamp"), semantic=True)
+
+
+def test_semantic_flag_flip_keeps_checkpoint(spark, tmp_path_factory):
+    """The state schema is mode-independent (q_vecs always carried),
+    so flipping `semantic` against an EXISTING checkpoint restarts
+    cleanly instead of dying on state deserialization: off->on keeps
+    old questions linkable by reply (they carry no vector), and the
+    on-run's semantic links work; on->off restarts cleanly again."""
+    import json as _json
+    import os as _os
+    import zlib
+
+    from project_discord_knowledge_graph_spark.streaming.stream import (
+        stateful_link_qa,
+    )
+
+    def vec(t):
+        v = [0.0] * 64
+        for w in (t or "").split():
+            v[zlib.crc32(w.encode()) % 64] += 1.0
+        return v
+
+    base = tmp_path_factory.mktemp("sem_flip")
+    land = base / "land"
+    land.mkdir()
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    schema = ("segment_id string, message_id string, type string, "
+              "author string, mentions array<string>, reply_to string, "
+              "timestamp string, vec array<double>")
+
+    def write_file(name, recs, mtime):
+        p = land / name
+        with open(p, "w") as f:
+            for r in recs:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def drain(semantic):
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", "1").json(str(land))
+        if not semantic:
+            stream = stream.drop("vec")
+        q_ = run_available_now(
+            stateful_link_qa(stream, semantic=semantic), out, ckpt)
+        q_.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    def rec(mid, typ, author, ts, text, reply_to=None):
+        return {"segment_id": "seg", "message_id": mid, "type": typ,
+                "author": author, "mentions": [], "reply_to": reply_to,
+                "timestamp": ts, "vec": vec(text)}
+
+    # batch 1, semantic OFF: register q1 (no vector captured)
+    write_file("f0.jsonl", [
+        rec("q1", "question", "alice", "2024-01-01T10:00:00+00:00",
+            "how do i size the wheel on tqqq?")], 1_700_000_000)
+    assert drain(semantic=False) == []
+
+    # flip ON against the same checkpoint: restart is clean; a1
+    # reply-links to the off-mode question (state survived), but no
+    # semantic link (q1 carries an empty vector by design)
+    write_file("f1.jsonl", [
+        rec("a1", "answer", "bob", "2024-01-01T10:02:00+00:00",
+            "size the wheel on tqqq small, scale in slowly",
+            reply_to="q1")], 1_700_000_100)
+    rows = drain(semantic=True)
+    assert {(r.subject, r.object, r.confidence) for r in rows} == \
+        {("q1", "a1", 0.95)}
+
+    # still ON: a question+answer pair registered IN semantic mode
+    # does link semantically through the same checkpoint
+    write_file("f2.jsonl", [
+        rec("q2", "question", "carol", "2024-01-01T10:10:00+00:00",
+            "what size for the wheel on spy today?")], 1_700_000_200)
+    write_file("f3.jsonl", [
+        rec("a2", "answer", "dan", "2024-01-01T10:12:00+00:00",
+            "the wheel size for spy today should stay small")],
+        1_700_000_300)
+    rows = drain(semantic=True)
+    sem = [r for r in rows if "_semantic_" in r.message_id]
+    assert {(r.subject, r.object) for r in sem} == {("q2", "a2")}
+
+    # flip back OFF: clean restart again, no new links from a
+    # mention-free chat message
+    write_file("f4.jsonl", [
+        rec("m1", "discussion", "eve", "2024-01-01T10:14:00+00:00",
+            "lol unrelated chatter")], 1_700_000_400)
+    n_before = len(rows)
+    assert len(drain(semantic=False)) == n_before
