@@ -319,6 +319,109 @@ def cc_deep_run() -> dict:
         spark.stop()
 
 
+def wet_run() -> dict:
+    """WET -> curation pipeline as a named bench mode: synthesize a
+    Common-Crawl-style WET dump (deterministic pseudo-docs, 50 tokens
+    each, with a planted 20% near-dup rate: every 5th doc is a
+    one-token variant of its predecessor), write it with write_wet,
+    and run the curation family over the FILES — read_wet (all-JVM
+    framing + header parse) -> near_dedup (banded MinHash-LSH ->
+    exact verify -> CC -> keep-min) -> text metrics + language-ID
+    rollup.  Reports wall and docs/sec per stage, LSH candidate and
+    verified pair counts, and the measured dup rate vs the planted
+    0.20 (an end-to-end value check, not just a timing)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from project_discord_knowledge_graph_spark.functions.textmetrics \
+        import (lang_guess_expr, quality_score_expr,
+                word_token_count_expr)
+    from project_discord_knowledge_graph_spark.operators.dataset import (
+        near_dedup,
+    )
+    from project_discord_knowledge_graph_spark.session import get_spark
+    from project_discord_knowledge_graph_spark.sources.warc import (
+        read_wet, write_wet,
+    )
+
+    n = int(os.environ.get("SPARK_GRAFT_WET_DOCS", "200000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_WET_CPUS", "32"))
+    spark = get_spark("bench-wet", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    base = f"{shm}/kg_wet_{os.getpid()}"
+    try:
+        # --- synthesize + write the WET dump (not timed as pipeline)
+        t0 = time.perf_counter()
+        is_var = (F.col("id") % 5) == 4
+        base_id = F.col("id") - F.when(is_var, 1).otherwise(0)
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(49)),
+            lambda k: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(base_id, k), F.lit(500))
+                 .cast("string")))
+        text = F.concat_ws(" ", words)
+        text = (F.when(is_var, F.concat(text, F.lit(" xtra")))
+                .otherwise(text))
+        docs = (spark.range(n).select(
+            F.concat(F.lit("http://wet.test/"),
+                     F.col("id").cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(1709251200) + F.col("id") % 86400)
+             .alias("warc_ts"),
+            text.alias("text"))
+            .repartition(cpus))
+        write_wet(docs, f"{base}/wet")
+        t_gen = round(time.perf_counter() - t0, 3)
+
+        # --- stage 1: read + frame + parse the WET files
+        t0 = time.perf_counter()
+        wet = read_wet(spark, f"{base}/wet").persist()
+        n_read = wet.count()
+        t_read = round(time.perf_counter() - t0, 3)
+        assert n_read == n, (n_read, n)
+
+        # --- stage 2: near-dup dedup
+        t0 = time.perf_counter()
+        dd, dstats = near_dedup(wet, text_col="text", id_col="url",
+                                return_stats=True)
+        n_dup = dd.where("is_dup").count()
+        t_dedup = round(time.perf_counter() - t0, 3)
+
+        # --- stage 3: text metrics + language rollup
+        t0 = time.perf_counter()
+        m = wet.select(
+            lang_guess_expr(F.col("text")).alias("lang"),
+            quality_score_expr(F.col("text")).alias("q"),
+            word_token_count_expr(F.col("text")).alias("toks"))
+        rollup = (m.groupBy("lang")
+                  .agg(F.count("*").alias("n"),
+                       F.avg("q").alias("avg_q"),
+                       F.sum("toks").alias("toks")).collect())
+        t_metrics = round(time.perf_counter() - t0, 3)
+
+        wet.unpersist()
+        wall = round(t_read + t_dedup + t_metrics, 3)
+        return {"metric": "wet_curation_pipeline", "value": wall,
+                "unit": "sec", "n_docs": n, "cores": cpus,
+                "gen_write_sec": t_gen,
+                "read_parse_sec": t_read,
+                "dedup_sec": t_dedup,
+                "metrics_sec": t_metrics,
+                "docs_per_sec": round(n / wall, 1),
+                "lsh_candidate_pairs": dstats["candidate_pairs"],
+                "verified_pairs": dstats["verified_pairs"],
+                "dup_rate": round(n_dup / n, 4),
+                "planted_dup_rate": 0.2,
+                "lang_rollup_rows": len(rollup),
+                **_prov()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 def streaming_run(sf_dir: str, semantic: bool = False) -> dict:
     """Streaming-surface throughput: drain the events-derived message
     corpus through the stateful cross-batch Q->A linker
@@ -973,6 +1076,9 @@ def main() -> None:
     ap.add_argument("--merge-sink", action="store_true",
                     help="per-batch growth curve of the cross-batch "
                          "dedup MERGE sink")
+    ap.add_argument("--wet", action="store_true",
+                    help="WET dump -> read_wet -> near_dedup -> "
+                         "text-metrics curation pipeline bench")
     ap.add_argument("--suite", action="store_true",
                     help="run ALL registered queries once at "
                          "$SPARK_GRAFT_SF_DIR (cliff hunt)")
@@ -982,6 +1088,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
     if args.cc:
         print(json.dumps(cc_deep_run()))
+    elif args.wet:
+        print(json.dumps(wet_run()))
     elif args.graph_zipf:
         print(json.dumps(graph_zipf_run()))
     elif args.merge_sink:

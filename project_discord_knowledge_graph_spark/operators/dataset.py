@@ -155,7 +155,8 @@ def near_dedup(df: DataFrame, text_col: str = "text",
                num_hash_tables: int = 6, shingle: int = 8,
                blocking: str = "banded",
                n_bands: int = 20, rows_per_band: int = 3,
-               bucket_cap: int = 1024) -> DataFrame:
+               bucket_cap: int = 1024,
+               return_stats: bool = False):
     """The production near-duplicate dedup composition:
 
         MinHash-LSH blocking  ->  exact shingle-Jaccard verify
@@ -163,7 +164,9 @@ def near_dedup(df: DataFrame, text_col: str = "text",
           ->  keep the min-id representative per duplicate cluster
 
     Returns (doc_id, keep_id, is_dup): every input row, mapped to its
-    cluster representative (itself when unique).  Each stage is the
+    cluster representative (itself when unique); with
+    return_stats=True also {'candidate_pairs', 'verified_pairs'}
+    (costs one extra pass over the blocked pair list).  Each stage is the
     already-tested operator (minhash_lsh_pairs /
     operators.components.connected_components), so the composite adds
     no new shuffle pattern: candidates only ever exist inside LSH
@@ -206,6 +209,10 @@ def near_dedup(df: DataFrame, text_col: str = "text",
         pairs = minhash_lsh_pairs(df, text_col, id_col,
                                   jaccard_distance, num_hash_tables,
                                   shingle, grams=grams)
+    n_cand = None
+    if return_stats:
+        pairs = pairs.persist()
+        n_cand = pairs.count()
     # exact verify: true shingle jaccard on candidates only, reading
     # the SAME staged shingle frame as the blocking stage
     a = grams.select(F.col(id_col).alias("id_a"),
@@ -219,13 +226,20 @@ def near_dedup(df: DataFrame, text_col: str = "text",
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=True))
     grams.unpersist(blocking=False)
+    if return_stats:
+        n_ver = verified.count()
+        pairs.unpersist(blocking=False)
     comp = connected_components(verified, src="id_a", dst="id_b")
-    return (df.select(F.col(id_col))
-            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col))
-                     .alias("keep_id"))
-            .withColumn("is_dup", F.col("keep_id") != F.col(id_col)))
+    out = (df.select(F.col(id_col))
+           .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("component", F.col(id_col))
+                    .alias("keep_id"))
+           .withColumn("is_dup", F.col("keep_id") != F.col(id_col)))
+    if return_stats:
+        return out, {"candidate_pairs": n_cand,
+                     "verified_pairs": n_ver}
+    return out
 
 
 def ngram_jaccard_pairs(left: DataFrame, right: DataFrame,
