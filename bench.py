@@ -347,6 +347,10 @@ def wet_run() -> dict:
 
     n = int(os.environ.get("SPARK_GRAFT_WET_DOCS", "200000"))
     cpus = int(os.environ.get("SPARK_GRAFT_WET_CPUS", "32"))
+    # SPARK_GRAFT_WET_GZIP=1: write the dump gzip-compressed and
+    # read through the codec (real CC dumps are gzipped; read-side
+    # parallelism drops to per-file, which the 32-file layout keeps)
+    gz = os.environ.get("SPARK_GRAFT_WET_GZIP", "0") == "1"
     spark = get_spark("bench-wet", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -373,7 +377,8 @@ def wet_run() -> dict:
              .alias("warc_ts"),
             text.alias("text"))
             .repartition(cpus))
-        write_wet(docs, f"{base}/wet")
+        write_wet(docs, f"{base}/wet",
+                  compression="gzip" if gz else None)
         t_gen = round(time.perf_counter() - t0, 3)
 
         # --- stage 1: read + frame + parse the WET files
@@ -406,6 +411,7 @@ def wet_run() -> dict:
         wall = round(t_read + t_dedup + t_metrics, 3)
         return {"metric": "wet_curation_pipeline", "value": wall,
                 "unit": "sec", "n_docs": n, "cores": cpus,
+                "gzip": gz,
                 "gen_write_sec": t_gen,
                 "read_parse_sec": t_read,
                 "dedup_sec": t_dedup,

@@ -134,7 +134,8 @@ def read_warc(spark: SparkSession, path: str,
         F.lit(None).cast("string").alias("lang"))
 
 
-def write_warc(pages: DataFrame, path: str) -> None:
+def write_warc(pages: DataFrame, path: str,
+               compression: str | None = None) -> None:
     """pages table -> WARC files (one record per page), written
     distributed: each partition becomes one .warc file via the same
     native expressions read_warc parses.  Test/bench scaffolding for
@@ -159,8 +160,13 @@ def write_warc(pages: DataFrame, path: str) -> None:
     # the record separator is the writer's lineSep (an empty lineSep
     # is rejected), so each row writes as
     # "WARC/1.0\r\n<headers>\r\n\r\n<payload>\r\n\r\n" byte-exactly
-    (pages.select(rec.alias("value"))
-     .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path))
+    w = (pages.select(rec.alias("value"))
+         .write.mode("overwrite").option("lineSep", "\r\n\r\n"))
+    if compression:
+        # e.g. 'gzip' -> .warc-shaped .gz files the reader's codec
+        # path consumes (whole-file member; per-file parallelism)
+        w = w.option("compression", compression)
+    w.text(path)
 
 
 def read_wet(spark: SparkSession, path: str,
@@ -188,7 +194,8 @@ def read_wet(spark: SparkSession, path: str,
 
 def write_wet(docs: DataFrame, path: str,
               url_col: str = "url", ts_col: str = "warc_ts",
-              text_col: str = "text") -> None:
+              text_col: str = "text",
+              compression: str | None = None) -> None:
     """documents -> WET files (conversion records), distributed."""
     rec = F.concat(
         F.lit("WARC/1.0\r\n"),
@@ -205,5 +212,8 @@ def write_wet(docs: DataFrame, path: str,
                  F.lit("\r\n")),
         F.lit("\r\n"),
         F.col(text_col))
-    (docs.select(rec.alias("value"))
-     .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path))
+    w = (docs.select(rec.alias("value"))
+         .write.mode("overwrite").option("lineSep", "\r\n\r\n"))
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

@@ -69,8 +69,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS "
-                    f"SELECT * FROM '{args.sf}/{t}.parquet'")
+        # testdata ships single-file tables; make_sf writes Spark
+        # parquet DIRECTORIES — glob the parts in that case
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries, oracles = entry.queries(), entry.oracle_sql()
     report: dict[str, dict] = {}
