@@ -2309,13 +2309,16 @@ FROM lcalls GROUP BY provider, template_type"""
 # scripts/check_oracles.py runs ALL entries regardless of position and
 # commits the full artifact each round.
 def _fixture_dir(sf_dir: str, kind: str) -> str:
-    """Deterministic scratch dir for source-format fixtures (written
-    mode=overwrite, so repeated runs are idempotent)."""
+    """Scratch dir for source-format fixtures: deterministic within
+    a process (mode=overwrite keeps repeated runs idempotent), but
+    pid-scoped so concurrent drivers/benches against the same sf
+    basename never overwrite each other's directory mid-scan."""
     import os
     import tempfile
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join(tempfile.gettempdir(),
-                        f"kg_spark_fixtures_{kind}_{base}")
+                        f"kg_spark_fixtures_{os.getpid()}",
+                        f"{kind}_{base}")
 
 
 def q_warc_pages(spark, sf_dir):

@@ -100,8 +100,11 @@ def _local_finish(edges: DataFrame) -> DataFrame:
     the remaining O(log n) rounds are pure floor.  One
     coalesce(1) + Arrow-batched mapInPandas task replaces them all.
     Python here is BOUNDED small-side work (<= threshold rows, the
-    same exemption class as lineage/multimodal) — never the full
-    edge set: the distributed rounds do the data-volume work first.
+    same exemption class as lineage/multimodal): when the INPUT is
+    already under the threshold the finisher absorbs the whole graph
+    with zero rounds (still bounded — that is what the threshold
+    means); above it, the distributed rounds do the data-volume work
+    and the finisher only ever sees the shrunken convergence tail.
     Union always attaches the larger root under the smaller, so each
     final root is its component's minimum id — byte-identical labels
     to the pure alternating fixpoint."""
@@ -187,7 +190,14 @@ def connected_components(edges: DataFrame, src: str = "src",
     residual = 0
     rounds = 0
     for it in range(max_iter + 1):
-        if it % check_every == 0 or it == max_iter:
+        # the it=0 check exists ONLY to let the finisher absorb an
+        # already-small input before any round; with the hybrid off
+        # it would be a pure extra checkpoint+aggregate over the
+        # largest edge list of the run — skip it (convergence can
+        # never fire at it=0: prev_fp is None)
+        if it == 0 and not local_finish_threshold:
+            pass
+        elif it % check_every == 0 or it == max_iter:
             cur = (cur.checkpoint(eager=True) if reliable_checkpoint
                    else cur.localCheckpoint(eager=True))
             fp = _fingerprint(cur)

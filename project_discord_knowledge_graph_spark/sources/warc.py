@@ -30,11 +30,13 @@ Scope honestly stated:
 - delimiter framing assumes `WARC/1.0\\r\\n` never appears INSIDE a
   payload.  Real crawled HTML can contain those bytes; when it does
   the record splits mid-payload.  The reader therefore HONORS
-  Content-Length as a guard: a split record's payload no longer
-  matches its declared length and is quarantined (dropped by
-  default, `on_length_mismatch="keep"` to inspect), and the spurious
-  tail fragment carries no WARC headers so the WARC-Type filter
-  drops it — corrupt rows never flow downstream silently.
+  Content-Length as a TRUNCATION guard: a split record's payload
+  comes up SHORT of its declared length and is quarantined (dropped
+  by default, `on_length_mismatch="keep"` to inspect), and the
+  spurious tail fragment carries no WARC headers so the WARC-Type
+  filter drops it — corrupt rows never flow downstream silently.
+  (Short-only, not equality: non-UTF-8 payloads re-encode LONGER,
+  see _length_ok — equality would silently drop intact pages.)
 - `application/http` payloads (real CC response records wrap the
   HTTP response) have the HTTP status line + headers stripped
   natively, so `html` is the document alone.
@@ -81,10 +83,17 @@ def _records(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _length_ok():
-    """Declared Content-Length (WARC header, counts payload octets)
-    vs the framed payload's utf-8 byte length; NULL declared = ok."""
+    """Truncation guard: a delimiter-split record's payload is
+    strictly SHORTER than its declared Content-Length, so quarantine
+    only payloads with fewer utf-8 bytes than declared (NULL
+    declared = ok).  Deliberately NOT an equality check: a non-UTF-8
+    payload (latin-1 page, binary HTTP body) re-encodes to >= its
+    original byte count (invalid sequences widen to U+FFFD), and
+    dropping those intact records would be silent data loss — they
+    pass the guard and flow on with the documented utf-8-decode
+    mangling instead."""
     return (F.col("_clen").isNull()
-            | (F.octet_length("_payload") == F.col("_clen")))
+            | (F.octet_length("_payload") >= F.col("_clen")))
 
 
 def _apply_length_policy(df: DataFrame,
@@ -121,10 +130,15 @@ def read_warc(spark: SparkSession, path: str,
         on_length_mismatch)
     is_http = F.coalesce(F.col("_ctype").contains("application/http"),
                          F.lit(False))
-    http_split = F.instr("_payload", _BLANK)
-    body = (F.when(is_http & (http_split > 0),
+    # the HTTP header block ends at the first blank line — CRLF per
+    # RFC, but lenient servers emit bare-LF headers, so fall back to
+    # "\n\n" before concluding the payload is headers-only
+    body = (F.when(is_http & (F.instr("_payload", _BLANK) > 0),
                    F.expr("substring(_payload, instr(_payload, "
                           "'\\r\\n\\r\\n') + 4)"))
+            .when(is_http & (F.instr("_payload", "\n\n") > 0),
+                   F.expr("substring(_payload, instr(_payload, "
+                          "'\\n\\n') + 2)"))
             .when(is_http, F.lit(""))   # headers-only HTTP payload
             .otherwise(F.col("_payload")))
     return rec.select(

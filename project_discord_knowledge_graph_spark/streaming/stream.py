@@ -417,9 +417,10 @@ def stateful_link_qa(messages: DataFrame,
         else:
             st = ([], [], [], [])
         q_ids, q_authors, q_ts = st[0], st[1], st[2]
-        # len guard: tolerate a pre-q_vecs 3-tuple checkpoint
-        q_vecs = (st[3] if len(st) > 3 and st[3] is not None
-                  else [[]] * len(q_ids))
+        # always 4 fields: Spark's state-schema compatibility check
+        # rejects a pre-q_vecs checkpoint at restart before user code
+        # runs, so no in-code migration path exists (or is needed)
+        q_vecs = st[3] if st[3] is not None else [[]] * len(q_ids)
         open_qs = {i: (a, t, v) for i, a, t, v
                    in zip(q_ids, q_authors, q_ts, q_vecs)}
         out = []

@@ -197,3 +197,39 @@ def test_warc_content_length_quarantine(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         read_warc(spark, str(d), on_length_mismatch="explode")
+
+
+def test_warc_non_utf8_payload_kept(spark, tmp_path):
+    """The Content-Length guard is a TRUNCATION guard, not an
+    equality check: a latin-1 (non-UTF-8) payload re-encodes LONGER
+    (invalid bytes widen to U+FFFD), and the intact record must be
+    KEPT — dropping it would be silent data loss on real crawls.
+    The decode mangling itself is the documented utf-8 scope."""
+    body = "caf\xe9 page".encode("latin-1")   # 0xE9: invalid UTF-8
+    rec = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: u://latin\r\n"
+           "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+           "Content-Type: text/html\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode() \
+        + body + b"\r\n\r\n"
+    d = tmp_path / "enc"
+    d.mkdir()
+    (d / "f.warc").write_bytes(rec)
+    rows = read_warc(spark, str(d)).collect()
+    assert [r.url for r in rows] == ["u://latin"]
+    assert "caf" in bytes(rows[0].html).decode("utf-8")
+
+
+def test_warc_http_lf_only_headers(spark, tmp_path):
+    """Lenient servers end the HTTP header block with bare LF; the
+    strip must fall back to \\n\\n instead of emitting html=''."""
+    doc = "<html>lenient</html>"
+    http = f"HTTP/1.1 200 OK\nContent-Type: text/html\n\n{doc}"
+    d = tmp_path / "lf"
+    d.mkdir()
+    with open(d / "f.warc", "w", newline="") as f:
+        f.write(_record("response", "u://lf", http,
+                        ctype="application/http; msgtype=response"))
+    rows = {r.url: bytes(r.html).decode()
+            for r in read_warc(spark, str(d)).collect()}
+    assert rows == {"u://lf": doc}
