@@ -816,9 +816,15 @@ def graph_zipf_run() -> dict:
 
         balance = salt_balance(triples)
 
+        # band/row knobs exposed so the candidates-vs-density curve
+        # can be re-measured under AND-amplification bumps (e.g.
+        # 50x4) without code edits; defaults match production
+        n_bands = int(os.environ.get("SPARK_GRAFT_ZIPF_BANDS", "20"))
+        rows_pb = int(os.environ.get("SPARK_GRAFT_ZIPF_ROWS", "3"))
         t0 = time.perf_counter()
         cands, lsh_stats = lsh_candidate_pairs_banded(
-            mentions, return_stats=True)
+            mentions, n_bands=n_bands, rows_per_band=rows_pb,
+            return_stats=True)
         cands = cands.persist()
         n_cands = cands.count()
         # release the signature/bucket cache the stats pass pinned
@@ -887,6 +893,7 @@ def graph_zipf_run() -> dict:
                 "n_distinct_mentions": n_mentions,
                 "head_mention_occurrences": head,
                 "lsh_candidate_pairs": n_cands,
+                "lsh_bands": n_bands, "lsh_rows_per_band": rows_pb,
                 "lsh_bucket_stats": lsh_stats,
                 "scored_pairs": n_scored,
                 "truth_pairs": n_truth,
