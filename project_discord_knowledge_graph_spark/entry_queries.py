@@ -38,6 +38,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str,
+            key: str) -> DataFrame:
+    """Scan + hash-repartition to the session's core count.
+
+    The sf tables are single-row-group parquet files, so a bare scan
+    yields ONE task and every CPU-dense narrow chain (regex classify,
+    per-row JSON build, vector scoring) runs single-core until its
+    first exchange (guide 2.5: unsplittable input -> repartition
+    right after the read).  Hash on the table's unique key (cheap,
+    deterministic, no sort-before-repartition) spreads the rows over
+    defaultParallelism (core-derived, so the knob scales with the
+    cluster instead of encoding local[32]).  Only per-row-heavy
+    consumers use this: for shuffle-bound joins and cheap partial
+    aggregations the extra exchange measures as a net loss."""
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, name).repartition(n, F.col(key))
+
+
 def _strip_sql(col: str) -> str:
     return f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
 
@@ -102,7 +120,10 @@ def docs_msgs_sql() -> str:
 
 
 def docs_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # repartitioned scan: the classify regex cascade downstream is the
+    # expensive part of every consumer of this corpus — single-task it
+    # measured 3.0 s at sf1.0 vs 0.6 s spread over the cores
+    docs = _t_wide(spark, sf_dir, "documents", "doc_id")
     marker = F.element_at(
         F.array(*[F.lit(m) for m in MARKERS]),
         ((F.col("doc_id") % 12) + 1).cast("int"))
@@ -824,7 +845,7 @@ FROM events GROUP BY event_type"""
 
 def q_dedup_exact(spark, sf_dir):
     from .operators.dataset import exact_dedup
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    return exact_dedup(_t_wide(spark, sf_dir, "documents", "doc_id"))
 
 
 SQL_DEDUP_EXACT = r"""
@@ -837,7 +858,8 @@ FROM documents GROUP BY 1"""
 
 def q_dedup_minhash(spark, sf_dir):
     from .operators.dataset import minhash_signatures
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    docs = _t_wide(spark, sf_dir, "documents",
+                   "doc_id").where(F.col("doc_id") < 500)
     return minhash_signatures(docs)
 
 
@@ -856,7 +878,8 @@ GROUP BY doc_id"""
 
 def q_dedup_simhash(spark, sf_dir):
     from .operators.dataset import simhash
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    docs = _t_wide(spark, sf_dir, "documents",
+                   "doc_id").where(F.col("doc_id") < 500)
     return simhash(docs)
 
 
@@ -906,7 +929,8 @@ WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
 def q_ann_cosine_topk(spark, sf_dir):
     from .operators.ann import cosine_topk
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.where(F.col("vec_id") < 10), emb, k=3)
+    corpus = _t_wide(spark, sf_dir, "embeddings", "vec_id")
+    return cosine_topk(emb.where(F.col("vec_id") < 10), corpus, k=3)
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -1011,7 +1035,7 @@ def q_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucket assignment — the blocking key of the
     scale ANN path, oracle-checked bit for bit."""
     from .operators.ann import with_lsh_bucket
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings", "vec_id")
     return (with_lsh_bucket(emb, n_planes=8, dim=64)
             .select("vec_id", "bucket"))
 
@@ -1028,7 +1052,8 @@ def q_ivf_topk(spark, sf_dir):
     n_cells (production plugs trained k-means centroids)."""
     from .operators.ann import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=3,
+    corpus = _t_wide(spark, sf_dir, "embeddings", "vec_id")
+    return ivf_topk(emb.where(F.col("vec_id") < 10), corpus, k=3,
                     n_cells=16, nprobe=4)
 
 
@@ -1070,7 +1095,8 @@ def q_lsh_topk(spark, sf_dir):
     so the oracle checks candidates, scores, and ranks."""
     from .operators.ann import lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=3,
+    corpus = _t_wide(spark, sf_dir, "embeddings", "vec_id")
+    return lsh_topk(emb.where(F.col("vec_id") < 10), corpus, k=3,
                     n_planes=6, dim=64)
 
 
@@ -1096,7 +1122,7 @@ def q_text_metrics(spark, sf_dir):
         fingerprint_expr, lang_guess_expr, quality_score_expr,
         token_count_expr, word_token_count_expr,
     )
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents", "doc_id")
     return docs.select(
         "doc_id",
         lang_guess_expr(F.col("text")).alias("lang_guess"),
@@ -1604,7 +1630,9 @@ def q_discord_flatten(spark, sf_dir):
     from .sources.discord_export import (
         EXPORT_MESSAGE_SCHEMA, flatten_message_cols,
     )
-    ev = _t(spark, sf_dir, "events")
+    # per-row JSON round-trip + 20-field flatten is CPU-dense: spread
+    # the single-row-group scan before it (guide 2.5)
+    ev = _t_wide(spark, sf_dir, "events", "event_id")
     tsl = F.col("ts").cast("timestamp_ltz")
     micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
     raw_ts = F.concat(F.date_format(tsl, "yyyy-MM-dd'T'HH:mm:ss"),
@@ -1721,7 +1749,9 @@ def q_repair_flatten(spark, sf_dir):
     from_json) and the production flatten; DuckDB computes the
     expected post-repair fields directly from the event columns."""
     from .sources.discord_export import export_to_messages, repair_exports
-    ev = _t(spark, sf_dir, "events")
+    # the msg_json format_string projection feeds the groupBy's map
+    # side — repartition first so it runs on every core
+    ev = _t_wide(spark, sf_dir, "events", "event_id")
     tsl = F.col("ts").cast("timestamp_ltz")
     micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
     raw_ts = F.concat(F.date_format(tsl, "yyyy-MM-dd'T'HH:mm:ss"),
@@ -1882,7 +1912,8 @@ def q_ts_normalize(spark, sf_dir):
     the reference's nondeterministic now() fallback (SURVEY section 7
     documented deviation)."""
     from .functions.timestamps import normalize_timestamps
-    ev = _t(spark, sf_dir, "events")
+    # two date_format renders + the normalizer parse per row
+    ev = _t_wide(spark, sf_dir, "events", "event_id")
     tsl = F.col("ts").cast("timestamp_ltz")  # NTZ parquet -> UTC instant
     micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
     frac = F.concat(F.lit("."), F.lpad(micros.cast("string"), 6, "0"))

@@ -47,6 +47,19 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _pair_sim(q_vec: str, c_vec: str, q_norm: str, c_norm: str) -> Column:
+    """cosine_expr with the two norms precomputed per SIDE instead of
+    per pair: a scored join evaluates O(|Q| x |C|) pairs but only
+    |Q| + |C| distinct norms — hoisting them out of the pair loop
+    removes two of the three per-pair array aggregates (guide 2.3,
+    compute less per row).  Arithmetic is bit-identical to
+    cosine_expr: same sqrt-of-sum-of-squares per vector, same product
+    / division order, same NULL-on-zero-denominator policy."""
+    denom = F.col(q_norm) * F.col(c_norm)
+    return F.when(denom != 0.0,
+                  _dot(F.col(q_vec), F.col(c_vec)) / denom)
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding"
                 ) -> DataFrame:
@@ -59,13 +72,15 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
     """
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("q_vec")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(vec_col).alias("c_vec"))
+        _as_double(vec_col).alias("q_vec"))
+        .withColumn("_qn", _norm(F.col("q_vec"))))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(vec_col).alias("c_vec"))
+         .withColumn("_cn", _norm(F.col("c_vec"))))
     scored = (q.crossJoin(c)
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", F.round(
-                  cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)))
+                  _pair_sim("q_vec", "c_vec", "_qn", "_cn"), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -149,18 +164,19 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
                        F.col(vec_col)),
         n_planes, dim).drop(vec_col)
     qb = qb.select(
-        "query_id", "q_vec",
+        "query_id", "q_vec", _norm(F.col("q_vec")).alias("_qn"),
         F.explode(probe_buckets_expr("bucket", n_planes,
                                      probe_hamming)).alias("bucket"))
     cb = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("c_vec"),
                       F.col(vec_col)),
-        n_planes, dim).drop(vec_col)
+        n_planes, dim).drop(vec_col) \
+        .withColumn("_cn", _norm(F.col("c_vec")))
     scored = (qb.join(cb, "bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim", F.round(
-                  cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)))
+                  _pair_sim("q_vec", "c_vec", "_qn", "_cn"), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -267,14 +283,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                   _as_double(vec_col).alias("v"), F.col(vec_col)),
         n_planes, dim).drop(vec_col)
     a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 _norm(F.col("v")).alias("_na"),
                  F.explode(probe_buckets_expr("bucket", n_planes,
                                               probe_hamming))
                   .alias("bucket"))
     c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                 "bucket")
+                 _norm(F.col("v")).alias("_nb"), "bucket")
     return (a.join(c, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("sim", F.round(cosine_expr(F.col("va"),
-                                                   F.col("vb")), 6))
+            .withColumn("sim", F.round(
+                _pair_sim("va", "vb", "_na", "_nb"), 6))
             .where(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim").distinct())

@@ -24,17 +24,19 @@ from .. import config as C
 
 
 def _any_rlike(col: Column, patterns) -> Column:
-    cond = F.lit(False)
-    for p in patterns:
-        cond = cond | col.rlike("(?i)" + p)
-    return cond
+    """OR of per-pattern matches as ONE alternation regex: a single
+    engine pass per row instead of one per pattern (search(p1|p2) ==
+    search(p1) or search(p2) — exact same match set).  No (?i): the
+    input column is pre-lowered by classify_expr and every pattern is
+    lowercase ASCII (config.py), so case folding is a pure cost."""
+    return col.rlike("|".join(f"(?:{p})" for p in patterns))
 
 
 def classify_expr(clean_text: Column) -> Column:
     """Message type per C1 precedence (nodes.py:200-226)."""
     text = F.lower(clean_text)
     is_perf = text.rlike(C.PERFORMANCE_PATTERN) & text.rlike(
-        "(?i)" + C.RETURN_KEYWORDS)
+        C.RETURN_KEYWORDS)
     return (
         F.when(is_perf, F.lit("performance"))
         .when(_any_rlike(text, C.CLASSIFIER_ALERT_PATTERNS), F.lit("alert"))

@@ -144,11 +144,24 @@ def link_by_similarity(questions: DataFrame, answers: DataFrame,
             "(text -> array<float>) or provide precomputed q_vec/a_vec "
             "columns")
 
+    q, a = _with_vec_norms(q, a)
     joined = _semantic_window_sim(
         a.join(q, (F.col("a_segment") == F.col("q_segment")), "inner"),
         time_window_minutes, threshold)
     return _links(joined, "semantic", F.col("sim"),
                   C.STAGE_PRIORITY_LINK_SEMANTIC)
+
+
+def _with_vec_norms(q: DataFrame, a: DataFrame
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Attach per-side vector norms BEFORE the pair join: the join
+    evaluates O(pairs) similarities but only O(rows) distinct norms
+    exist — hoisting them removes two of the three per-pair array
+    aggregates (guide 2.3).  Values are bit-identical to computing
+    the norm inside cosine_expr."""
+    from .ann import _norm
+    return (q.withColumn("_qn", _norm(F.col("q_vec"))),
+            a.withColumn("_an", _norm(F.col("a_vec"))))
 
 
 def _semantic_window_sim(joined: DataFrame, time_window_minutes: int,
@@ -158,18 +171,26 @@ def _semantic_window_sim(joined: DataFrame, time_window_minutes: int,
     (the LSH path's prunes-never-invents guarantee and its recall
     gate both assume identical predicates): exact integer-micros
     window (NTZ-safe, same arithmetic as the J2 mention join), then
-    cosine (the ONE implementation in operators/ann.py — duplicated
+    cosine (the ONE arithmetic from operators/ann.py — duplicated
     float-determinism arithmetic desynchronizes engines over time)
-    rounded to 6 places BEFORE the threshold test."""
-    from .ann import cosine_expr
+    rounded to 6 places BEFORE the threshold test.
+
+    When the caller attached per-side norms (`_qn`/`_an`, see
+    _with_vec_norms) the pair loop reuses them (ann._pair_sim,
+    bit-identical to cosine_expr); otherwise the full cosine_expr
+    runs per pair."""
+    from .ann import _pair_sim, cosine_expr
 
     delta = (F.unix_micros(F.col("a_tstamp").cast("timestamp_ltz"))
              - F.unix_micros(F.col("q_tstamp").cast("timestamp_ltz")))
+    if "_qn" in joined.columns and "_an" in joined.columns:
+        sim = _pair_sim("q_vec", "a_vec", "_qn", "_an")
+    else:
+        sim = cosine_expr(F.col("q_vec"), F.col("a_vec"))
     return (joined
             .where((delta <= time_window_minutes * 60 * 1_000_000)
                    & (delta >= 0))
-            .withColumn("sim", F.round(
-                cosine_expr(F.col("q_vec"), F.col("a_vec")), 6))
+            .withColumn("sim", F.round(sim, 6))
             .where(F.col("sim") > threshold))
 
 
@@ -218,6 +239,7 @@ def link_by_similarity_lsh(questions: DataFrame, answers: DataFrame,
             "array<double>")),
         n_planes, dim, vec_col="a_vec", out_col="_bucket")
 
+    q, a = _with_vec_norms(q, a)
     # an answer lives in exactly ONE bucket while question probes
     # explode, so (q, a) pairs are produced at most once — no dedup
     joined = _semantic_window_sim(

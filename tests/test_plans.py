@@ -92,7 +92,13 @@ def test_new_queries_have_sane_plans(spark):
     (zero exchanges)."""
     from project_discord_knowledge_graph_spark import entry_queries as EQ
     sf = "/root/testdata/sf0.001"
-    narrow = {"discord_flatten", "scalar_ts_normalize"}
+    # round 7: the flatten and the normalizer deliberately spend ONE
+    # hash-repartition exchange right after the scan — the sf tables
+    # are single-row-group parquet, so without it the whole per-row-
+    # heavy chain (JSON round-trip / date renders) runs in one task
+    # (measured 5x at sf1.0).  Pin exactly one exchange and that it
+    # is the repartition, not an accidental join/agg shuffle.
+    one_repartition = {"discord_flatten", "scalar_ts_normalize"}
     for name in ("kg_prune_candidates", "discord_flatten",
                  "ann_lsh_topk", "scalar_ts_normalize",
                  "kg_attribute_outputs", "llm_template_stats"):
@@ -100,8 +106,11 @@ def test_new_queries_have_sane_plans(spark):
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
-        if name in narrow:
-            assert "Exchange" not in plan, name
+        if name in one_repartition:
+            n_exchange = sum("Exchange" in ln and "Reused" not in ln
+                             for ln in plan.splitlines())
+            assert "Exchange hashpartitioning" in plan, name
+            assert n_exchange == 1, (name, plan)
 
 
 def test_mention_link_join_is_hash_equi(spark, pages_path):
