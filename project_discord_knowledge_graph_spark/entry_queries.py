@@ -1819,8 +1819,9 @@ def q_repair_flatten(spark, sf_dir):
                           F.concat_ws(",", F.collect_list("_m")),
                           F.lit("]}")).alias("value"))
             # AQE coalesces the tiny 100-row shuffle to ~4 partitions;
-            # spread the (heavy) per-doc parse work back out
-            .repartition(64))
+            # spread the (heavy) per-doc parse work back out —
+            # core-derived, not a local[32] constant
+            .repartition(2 * spark.sparkContext.defaultParallelism))
     msgs = export_to_messages(repair_exports(docs))
     return msgs.select(
         "message_id", "author", "segment_id",

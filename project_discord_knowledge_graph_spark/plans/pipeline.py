@@ -72,10 +72,14 @@ def build_triples_from_path(spark: SparkSession, path: str,
     return build_triples(read_pages(spark, path, after_ts), **kw)
 
 
+_EXPORT_MSG_CACHE: list = []
+
+
 def build_triples_from_export(spark: SparkSession, path: str,
                               include_semantic: bool = False,
                               embed_udf=None,
-                              repair: bool = False) -> DataFrame:
+                              repair: bool = False,
+                              cache_messages: bool = True) -> DataFrame:
     """The reference's actual front door: Discord channel-export JSON
     -> flatten (S1/P1/P2) -> classify (C1) -> extract (E1-E8) -> Q&A
     link (J1/J2) -> dedup + validate (A8/P7).  Same downstream DAG as
@@ -83,7 +87,17 @@ def build_triples_from_export(spark: SparkSession, path: str,
 
     `repair=True` routes through the malformed-export repair door
     (bare-string roles/mentions etc., preprocessor.py:54-65) — one
-    extra Python pass; leave off for well-formed exports."""
+    extra Python pass; leave off for well-formed exports.
+
+    The classified messages feed three branches (extract + both link
+    sides); without a cache each branch re-parses the export JSON and
+    re-runs the clean-text UDF (measured 3x the source stage at 50k
+    messages).  `cache_messages` persists the stage once per
+    invocation; the previous invocation's cache is unpersisted on the
+    next call (same at-most-one-entry pattern as the comparison
+    query's base cache), so nothing accumulates.  Callers staging to
+    parquet between pipeline phases should pass False and use
+    build_triples(stage_dir=...) semantics instead."""
     from ..operators.classify import with_type
     from ..sources.discord_export import (
         export_to_messages, read_discord_export,
@@ -92,6 +106,14 @@ def build_triples_from_export(spark: SparkSession, path: str,
     reader = (read_discord_export_repaired if repair
               else read_discord_export)
     messages = with_type(export_to_messages(reader(spark, path)))
+    if cache_messages:
+        while _EXPORT_MSG_CACHE:
+            try:  # prior entry may belong to a stopped SparkSession
+                _EXPORT_MSG_CACHE.pop().unpersist()
+            except Exception:
+                pass
+        messages = messages.persist()
+        _EXPORT_MSG_CACHE.append(messages)
     extracted = extract_triples(messages)
     links = link_qa(messages, include_semantic, embed_udf)
     return aggregate_triples(extracted, links)
