@@ -1204,7 +1204,8 @@ def q_graph_components(spark, sf_dir):
     edges = ev.select(
         F.col("user_id").alias("src"),
         ((F.col("user_id") * 7 + 3) % 25).alias("dst")).distinct()
-    return connected_components(edges)
+    # one scan + distinct is cheaper to recompute than to cache
+    return connected_components(edges, checkpoint_input=False)
 
 
 SQL_GRAPH_COMPONENTS = """

@@ -151,6 +151,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                          reliable_checkpoint: bool = False,
                          on_nonconverged: str = "raise",
                          local_finish_threshold: int = 1_000_000,
+                         checkpoint_input: bool = True,
                          return_stats: bool = False):
     """edges(src, dst) -> (node, component) with component = min
     member id of the node's connected component (ids compare by the
@@ -176,6 +177,19 @@ def connected_components(edges: DataFrame, src: str = "src",
     """
     e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
           .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    # Materialize the input edge list ONCE before fanning out: both
+    # the node universe (below) and the contraction loop read e0, and
+    # without the cut each action re-executes the caller's whole
+    # upstream plan — for entity linking that is the full LSH blocking
+    # + exact-verify chain, re-run just to list nodes (measured ~2
+    # redundant upstream passes per call at sf1.0).  Same
+    # localCheckpoint/checkpoint policy as the per-round cuts.
+    # checkpoint_input=False skips the cut for callers whose edge
+    # list is already materialized (near_dedup checkpoints its
+    # verified pairs) or cheaper to recompute than to cache.
+    if checkpoint_input:
+        e0 = (e0.checkpoint(eager=True) if reliable_checkpoint
+              else e0.localCheckpoint(eager=True))
     nodes = (e0.select("u").unionByName(e0.select(F.col("v").alias("u")))
              .distinct().withColumnRenamed("u", "node"))
 

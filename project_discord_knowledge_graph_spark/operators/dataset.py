@@ -229,7 +229,10 @@ def near_dedup(df: DataFrame, text_col: str = "text",
     if return_stats:
         n_ver = verified.count()
         pairs.unpersist(blocking=False)
-    comp = connected_components(verified, src="id_a", dst="id_b")
+    # verified is already an eager localCheckpoint (above) — skip
+    # CC's own input cut, it would materialize the same rows twice
+    comp = connected_components(verified, src="id_a", dst="id_b",
+                                checkpoint_input=False)
     out = (df.select(F.col(id_col))
            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
            .select(id_col,

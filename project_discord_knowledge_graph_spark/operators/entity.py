@@ -273,7 +273,15 @@ def link_entities(triples: DataFrame, n: int = 3,
     keeps the pyspark.ml approxSimilarityJoin variant for small
     universes and cross-checking (see lsh_candidate_pairs_banded's
     docstring for the measured hot-bucket failure)."""
-    mentions = extract_mentions(triples)
+    # Materialize the mention universe ONCE before fanning out: the
+    # LSH blocking chain, the exact-verify scorer, and canonicalize's
+    # final map join all derive from it, and each downstream action
+    # (CC is eager) would otherwise re-run the triples scan + salted
+    # aggregation per consumer.  The mention universe is the SMALL
+    # side of this operator by construction (distinct mentions <<
+    # triples), so the materialized block is bounded; measured ~2
+    # redundant extraction passes per call at sf1.0 without the cut.
+    mentions = extract_mentions(triples).localCheckpoint(eager=True)
     if blocking == "banded":
         cands = lsh_candidate_pairs_banded(mentions, n)
     else:
