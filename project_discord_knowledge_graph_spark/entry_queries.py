@@ -57,8 +57,9 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str,
 
 
 def _barrier(cond):
-    """AND an always-true nondeterministic guard onto a filter so the
-    optimizer cannot push it below a _t_wide repartition.
+    """Fuse an always-true nondeterministic guard into a filter
+    predicate so the optimizer cannot push it below a _t_wide
+    repartition.
 
     Catalyst substitutes aliases when pushing a filter through a
     projection, so a filter over an expensive derived column (e.g.
