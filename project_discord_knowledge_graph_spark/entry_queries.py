@@ -2375,13 +2375,24 @@ def _fixture_dir(sf_dir: str, kind: str) -> str:
     """Scratch dir for source-format fixtures: deterministic within
     a process (mode=overwrite keeps repeated runs idempotent), but
     pid-scoped so concurrent drivers/benches against the same sf
-    basename never overwrite each other's directory mid-scan."""
+    basename never overwrite each other's directory mid-scan.
+
+    The pid-scoped parent is removed at interpreter exit (round-6
+    advice: the WARC/WET fixtures are full document-table copies, so
+    orphaned per-pid dirs accumulate gigabytes under /tmp across
+    sweeps) — cleanup after the process is done with every scan, so
+    no query can observe a half-removed directory."""
+    import atexit
     import os
+    import shutil
     import tempfile
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(),
-                        f"kg_spark_fixtures_{os.getpid()}",
-                        f"{kind}_{base}")
+    parent = os.path.join(tempfile.gettempdir(),
+                          f"kg_spark_fixtures_{os.getpid()}")
+    if not getattr(_fixture_dir, "_cleanup_registered", False):
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _fixture_dir._cleanup_registered = True
+    return os.path.join(parent, f"{kind}_{base}")
 
 
 def q_warc_pages(spark, sf_dir):

@@ -29,14 +29,30 @@ Scope honestly stated:
   payloads — binary-exact non-UTF-8 payloads are out of scope.
 - delimiter framing assumes `WARC/1.0\\r\\n` never appears INSIDE a
   payload.  Real crawled HTML can contain those bytes; when it does
-  the record splits mid-payload.  The reader therefore HONORS
-  Content-Length as a TRUNCATION guard: a split record's payload
-  comes up SHORT of its declared length and is quarantined (dropped
-  by default, `on_length_mismatch="keep"` to inspect), and the
-  spurious tail fragment carries no WARC headers so the WARC-Type
-  filter drops it — corrupt rows never flow downstream silently.
-  (Short-only, not equality: non-UTF-8 payloads re-encode LONGER,
-  see _length_ok — equality would silently drop intact pages.)
+  the record splits mid-payload.  The reader HONORS Content-Length
+  as a TRUNCATION guard: a split record's payload comes up SHORT of
+  its declared length and is quarantined (dropped by default,
+  `on_length_mismatch="keep"` to inspect), and a headerless tail
+  fragment fails the WARC-Type filter.  (Short-only, not equality:
+  non-UTF-8 payloads re-encode LONGER, see _length_ok — equality
+  would silently drop intact pages.)  KNOWN RESIDUAL VECTOR
+  (round-6 advice): the guard stops truncation, not injection — a
+  crawled payload that EMBEDS a complete well-formed WARC record
+  splits the real record (quarantined as short) while the embedded
+  record parses with valid headers and a self-consistent
+  Content-Length, so attacker-chosen url/html rows from forged
+  embedded records CAN flow downstream.  Trust-boundary note for
+  operators: treat rows from untrusted crawls accordingly; a
+  delimiter-in-declared-length quarantine (or Content-Length-driven
+  framing) closes it at the cost of a second pass and is the
+  documented follow-up, deliberately not landed in the
+  result-frozen optimization round.
+- HTTP header strip prefers the first CRLFCRLF anywhere in the
+  payload over the bare-LF fallback (see read_warc): a lenient
+  bare-LF-header response whose BODY contains \\r\\n\\r\\n is
+  split at the body occurrence and loses its prefix — documented
+  divergence, same follow-up round as above (split at the earliest
+  of the two separators).
 - `application/http` payloads (real CC response records wrap the
   HTTP response) have the HTTP status line + headers stripped
   natively, so `html` is the document alone.
