@@ -25,26 +25,67 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 
+import re as _re
+
+# Compiled once; the per-row fast paths below are r07 optimization
+# work (guide "per-task work"): the original 8-pass pandas .str chain
+# reallocated every row on every pass (r"[ \t]+" matches every single
+# space, so even identity rewrites copied the string).  Each rewrite
+# here is provably identical output:
+#   [ \t]+ -> " "  ==  [ \t]{2,} -> " " then lone "\t" -> " "
+#     (runs >= 2 collapse first; surviving tabs are singletons);
+#   \s+ -> " "     ==  \s{2,} -> " " then single [^\S ] -> " ";
+#   the markup rewrites cannot match without a "<";
+#   \n\s*\n\s*\n+ cannot match without a "\n".
+# Byte-equality is pinned by the parity fuzz suite and the oracle rows.
+_P3_NL3 = _re.compile(r"\n\s*\n\s*\n+")
+_P3_SP2 = _re.compile(r"[ \t]{2,}")
+_P3_USER = _re.compile(r"<@!?(\d+)>")
+_P3_CHAN = _re.compile(r"<#(\d+)>")
+_P3_ROLE = _re.compile(r"<@&(\d+)>")
+_P3_EMOJI = _re.compile(r"<:(\w+):\d+>")
+_P4_WS2 = _re.compile(r"\s{2,}")
+_P4_WS1 = _re.compile(r"[^\S ]")
+_P4_MENT = _re.compile(r"<@!?\d+>")
+_P4_CHAN = _re.compile(r"<#\d+>")
+_P4_EMOJI = _re.compile(r"<:\w+:\d+>")
+
+
+def _clean_preprocessor_one(t: str) -> str:
+    t = t.lower()
+    if "\n" in t:
+        t = _P3_NL3.sub("\n\n", t)
+    t = _P3_SP2.sub(" ", t)
+    if "\t" in t:
+        t = t.replace("\t", " ")
+    t = t.strip()
+    if "<" in t:
+        t = _P3_USER.sub(r"@user\1", t)
+        t = _P3_CHAN.sub(r"#channel\1", t)
+        t = _P3_ROLE.sub(r"@role\1", t)
+        t = _P3_EMOJI.sub(r":\1:", t)
+    return t
+
+
+def _clean_classifier_one(t: str) -> str:
+    t = t.lower()
+    t = _P4_WS2.sub(" ", t)
+    if _P4_WS1.search(t):
+        t = _P4_WS1.sub(" ", t)
+    t = t.strip()
+    if "<" in t:
+        t = _P4_MENT.sub("[mention]", t)
+        t = _P4_CHAN.sub("[channel]", t)
+        t = _P4_EMOJI.sub("[emoji]", t)
+    return t
+
+
 def clean_preprocessor_series(s: pd.Series) -> pd.Series:
-    s = s.fillna("").str.lower()
-    s = s.str.replace(r"\n\s*\n\s*\n+", "\n\n", regex=True)
-    s = s.str.replace(r"[ \t]+", " ", regex=True)
-    s = s.str.strip()
-    s = s.str.replace(r"<@!?(\d+)>", r"@user\1", regex=True)
-    s = s.str.replace(r"<#(\d+)>", r"#channel\1", regex=True)
-    s = s.str.replace(r"<@&(\d+)>", r"@role\1", regex=True)
-    s = s.str.replace(r"<:(\w+):\d+>", r":\1:", regex=True)
-    return s
+    return s.fillna("").map(_clean_preprocessor_one)
 
 
 def clean_classifier_series(s: pd.Series) -> pd.Series:
-    s = s.fillna("").str.lower()
-    s = s.str.replace(r"\s+", " ", regex=True)
-    s = s.str.strip()
-    s = s.str.replace(r"<@!?\d+>", "[mention]", regex=True)
-    s = s.str.replace(r"<#\d+>", "[channel]", regex=True)
-    s = s.str.replace(r"<:\w+:\d+>", "[emoji]", regex=True)
-    return s
+    return s.fillna("").map(_clean_classifier_one)
 
 
 @F.pandas_udf(StringType())

@@ -34,17 +34,28 @@ _TAG_RE = re.compile(r"<[^>]+>")
 
 
 def extract_text(html_str: str) -> str:
-    """Extract main-article text from one HTML document (pure fn)."""
+    """Extract main-article text from one HTML document (pure fn).
+
+    The two guards are provably output-identical fast paths (r07):
+    the script/style regex cannot match a document containing neither
+    literal, and `<article[^>]*>` matches can only start at a literal
+    "<article", so seeding the search at its first occurrence skips
+    the prefix scan without changing which match is found.
+    """
     if not html_str:
         return ""
-    body = _SCRIPT_STYLE_RE.sub("", html_str)
-    m = _ARTICLE_RE.search(body)
+    if "<script" in html_str or "<style" in html_str:
+        body = _SCRIPT_STYLE_RE.sub("", html_str)
+    else:
+        body = html_str
+    idx = body.find("<article")
+    m = _ARTICLE_RE.search(body, idx) if idx >= 0 else None
     scope = m.group(1) if m else body
     paras = _PARA_RE.findall(scope)
     if not paras:
         # fallback: strip all tags in scope
         return _htmllib.unescape(_TAG_RE.sub(" ", scope)).strip()
-    return "\n\n".join(_htmllib.unescape(p) for p in paras)
+    return "\n\n".join([_htmllib.unescape(p) for p in paras])
 
 
 def _extract_series(html_bytes: pd.Series) -> pd.Series:
