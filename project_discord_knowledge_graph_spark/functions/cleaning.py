@@ -103,11 +103,12 @@ def clean_text_classifier_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Serie
 
 
 _META_RE = None
+_SLUG_RE = None
 
 _PARSE_PAGE_SCHEMA = StructType([
     StructField(n, StringType())
     for n in ("clean_text", "message_id", "author", "channel", "thread",
-              "reply_to", "mentions_csv")
+              "thread_slug", "reply_to", "mentions_csv")
 ])
 
 
@@ -122,10 +123,16 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
     regex re-scans the full 1-2 KB page; here one compiled findall
     collects all fields).
     """
-    global _META_RE
+    global _META_RE, _SLUG_RE
     import re
     if _META_RE is None:
         _META_RE = re.compile(r'<meta name="([a-z-]+)" content="([^"]*)">')
+        # thread slug computed here rather than as a JVM
+        # regexp_replace: this is the reference's own Python re.sub
+        # (preprocessor.py:144-147, mirrored at reference_port.py:93),
+        # and Spark's per-row RegExpReplace measured ~0.9 s over the
+        # 40%-threaded 2M-page corpus vs negligible in this pass.
+        _SLUG_RE = re.compile(r"[^a-zA-Z0-9]")
     from .html import extract_text
     texts, metas = [], []
     for b in html:
@@ -134,12 +141,15 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
         metas.append(dict(_META_RE.findall(h)))
         texts.append(extract_text(h))
     cleaned = clean_preprocessor_series(pd.Series(texts, dtype="object"))
+    threads = [m.get("thread", "") for m in metas]
     return pd.DataFrame({
         "clean_text": cleaned.values,
         "message_id": [m.get("message-id", "") for m in metas],
         "author": [m.get("author", "") for m in metas],
         "channel": [m.get("channel", "") for m in metas],
-        "thread": [m.get("thread", "") for m in metas],
+        "thread": threads,
+        "thread_slug": ["thread-" + _SLUG_RE.sub("-", t.lower()) if t
+                        else "" for t in threads],
         "reply_to": [m.get("reply-to", "") for m in metas],
         "mentions_csv": [m.get("mentions", "") for m in metas],
     })
