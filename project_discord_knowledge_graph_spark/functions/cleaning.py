@@ -105,10 +105,61 @@ def clean_text_classifier_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Serie
 _META_RE = None
 _SLUG_RE = None
 
+# C1 classifier, fused into the parse pass (r07): the per-class
+# alternations are the same provably-equivalent merge as the JVM
+# classify_expr (search(p1|p2) == search(p1) or search(p2)), compiled
+# once per worker.  Input is this module's own P3 output, which is
+# always lowercase (P3 lowers first; every later rewrite inserts only
+# lowercase/symbol text), so the reference's text.lower() is the
+# identity here and is skipped.  Equality with operators.classify
+# .classify_expr / the oracle port is pinned by tests
+# (test_parity.py::test_fused_classify_matches_with_type + fuzz).
+_C1 = None
+
+
+def _c1_patterns():
+    import re
+    from .. import config as C
+    merged = lambda ps: re.compile(  # noqa: E731
+        "|".join(f"(?:{p})" for p in ps))
+    return (re.compile(C.PERFORMANCE_PATTERN),
+            re.compile(C.RETURN_KEYWORDS),
+            merged(C.CLASSIFIER_ALERT_PATTERNS),
+            merged(C.CLASSIFIER_QUESTION_PATTERNS),
+            merged(C.CLASSIFIER_STRATEGY_PATTERNS),
+            merged(C.CLASSIFIER_ANALYSIS_PATTERNS))
+
+
+def _classify_lowered(text: str) -> str:
+    """nodes.py:200-226 precedence over already-lowercase text.
+
+    Lazy init lives HERE (not in the UDF wrapper): the decorated UDF
+    is pickled by value with a *copy* of the module globals, so a
+    `global` assignment from inside it would not reach this
+    by-reference function."""
+    global _C1
+    if _C1 is None:
+        _C1 = _c1_patterns()
+    perf, ret, alert, ques, strat, anal = _C1
+    if perf.search(text) and ret.search(text):
+        return "performance"
+    if alert.search(text):
+        return "alert"
+    if ques.search(text):
+        return "question"
+    if strat.search(text):
+        return "strategy"
+    if anal.search(text):
+        return "analysis"
+    if len(text) > 50 and not text.endswith("?"):
+        return "answer"
+    return "discussion"
+
+
 _PARSE_PAGE_SCHEMA = StructType([
     StructField(n, StringType())
     for n in ("clean_text", "message_id", "author", "channel", "thread",
-              "thread_slug", "reply_to", "mentions_csv")
+              "thread_slug", "reply_to", "mentions_csv", "type")
 ])
 
 
@@ -152,6 +203,7 @@ def parse_page_udf(html: pd.Series) -> pd.DataFrame:
                         else "" for t in threads],
         "reply_to": [m.get("reply-to", "") for m in metas],
         "mentions_csv": [m.get("mentions", "") for m in metas],
+        "type": [_classify_lowered(t) for t in cleaned],
     })
 
 

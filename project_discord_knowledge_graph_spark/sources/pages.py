@@ -36,7 +36,8 @@ def read_pages(spark: SparkSession, path: str,
 
 
 def pages_to_messages(pages: DataFrame,
-                      include_content: bool = False) -> DataFrame:
+                      include_content: bool = False,
+                      classify: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> preprocessed messages.
 
     Text extraction + P3 cleaning + metadata parse run fused in ONE
@@ -75,6 +76,7 @@ def pages_to_messages(pages: DataFrame,
                F.array().cast("array<string>"))
          .otherwise(F.split(F.col("_p.mentions_csv"), ","))
          .alias("mentions"),
+        *([F.col("_p.type").alias("_type")] if classify else []),
     )
 
     # P2 timestamp normalize: typed ts + the ISO string the reference
@@ -97,4 +99,14 @@ def pages_to_messages(pages: DataFrame,
         "segment_id",
         F.when(F.col("thread").isNotNull(), F.col("_thread_slug"))
          .otherwise(F.concat(F.lit("segment-"), F.substring(hashed, 1, 8))))
+    if classify:
+        # C1 classification fused into the parse UDF (same Python pass
+        # that cleaned the text — see functions/cleaning.py
+        # _classify_lowered).  Repositioned to the end so the schema
+        # matches with_type(pages_to_messages(...)) exactly; the
+        # coalesce fallback can never fire (the UDF always returns a
+        # string) — it only restores with_type's non-nullable bit.
+        df = df.withColumn(
+            "type", F.coalesce(F.col("_type"), F.lit("discussion"))
+        ).drop("_type")
     return df.drop("_thread_slug")

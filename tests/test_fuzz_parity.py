@@ -80,6 +80,21 @@ def test_classifier_parity_on_fuzz(fuzz_df):
         assert r.type == want, repr(r.clean_text)
 
 
+def test_fused_classifier_parity_on_fuzz(fuzz_df):
+    """The parse-UDF-fused classifier (functions.cleaning
+    ._classify_lowered, r07) must agree with the oracle port and the
+    JVM classify_expr on every P3-cleaned fuzz string.  P3 output is
+    always lowercase, which is the fused path's precondition."""
+    from project_discord_knowledge_graph_spark.functions.cleaning import (
+        _classify_lowered,
+    )
+    texts, _ = fuzz_df
+    for t in texts:
+        cleaned = ref.clean_text_preprocessor(t)
+        assert cleaned == cleaned.lower(), repr(t)  # precondition
+        assert _classify_lowered(cleaned) == ref.classify(cleaned), repr(t)
+
+
 def test_timestamp_normalize_parity_on_fuzz(spark):
     """P2 fuzz: dirty-but-well-formed ISO strings (plus invalid
     calendar values and garbage) through the Spark normalizer vs the

@@ -80,3 +80,21 @@ def test_byte_identical_extracted_text(spark, corpus):
            .where(F.col("extracted") != F.col("text"))
            .count())
     assert bad == 0
+
+
+def test_fused_classify_matches_with_type(spark):
+    """classify_pages' parse-UDF-fused classification (r07) is
+    row-identical — schema included — to the former
+    with_type(pages_to_messages(...)) formulation."""
+    from project_discord_knowledge_graph_spark.operators.classify import (
+        with_type,
+    )
+    from project_discord_knowledge_graph_spark.sources.pages import (
+        pages_to_messages,
+    )
+    pages = pages_df(spark, N, seed=42)
+    old = with_type(pages_to_messages(pages))
+    new = pages_to_messages(pages, classify=True)
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
