@@ -15,15 +15,23 @@ Validation (nodes.py:667-691): non-empty s/p/o, confidence clamped to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-_PYSTRIP = r"^\s+|\s+$"
+# Python str.strip() over ASCII == btrim over Java-\s's exact char set
+# [ \t\n\x0B\f\r] (regex ^\s+|\s+$ is equivalent but ~6% slower over
+# the 2.9M-triple dedup input — r07; equivalence pinned in
+# tests/test_analytics.py::test_pystrip_btrim_equivalent).
+_WS = " \t\n\x0b\x0c\r"
+
+
+def pystrip(col: Column) -> Column:
+    """Python str.strip() equivalent (leading/trailing whitespace)."""
+    return F.btrim(col, F.lit(_WS))
 
 
 def dedup_key(subject, predicate, obj):
     """lower(f"{s}|{p}|{o}").strip() — nodes.py:660."""
-    return F.regexp_replace(
-        F.lower(F.concat_ws("|", subject, predicate, obj)), _PYSTRIP, "")
+    return pystrip(F.lower(F.concat_ws("|", subject, predicate, obj)))
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
@@ -54,14 +62,13 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
 def validate_triples(triples: DataFrame, min_object_len: int = 2
                      ) -> DataFrame:
     """P7 (nodes.py:667-691), applied after dedup as in the reference."""
-    strip = lambda c: F.regexp_replace(c, _PYSTRIP, "")  # noqa: E731
     return (
         triples
         .where((F.col("subject") != "") & (F.col("predicate") != "")
                & (F.col("object") != ""))
-        .withColumn("subject", strip(F.col("subject")))
-        .withColumn("predicate", strip(F.col("predicate")))
-        .withColumn("object", strip(F.col("object")))
+        .withColumn("subject", pystrip(F.col("subject")))
+        .withColumn("predicate", pystrip(F.col("predicate")))
+        .withColumn("object", pystrip(F.col("object")))
         .withColumn(
             "confidence",
             F.when((F.col("confidence") >= 0.0)

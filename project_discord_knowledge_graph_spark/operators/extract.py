@@ -41,8 +41,10 @@ def _trunc(col: Column, n: int) -> Column:
 
 
 def _pystrip(col: Column) -> Column:
-    """Python str.strip() equivalent (leading/trailing whitespace)."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    """Python str.strip() equivalent (leading/trailing whitespace) —
+    btrim over Java-\\s's exact char set, see operators/dedup.pystrip."""
+    from .dedup import pystrip
+    return pystrip(col)
 
 
 def assets_expr(content: Column) -> Column:

@@ -53,3 +53,25 @@ def test_run_stage_metrics(spark, tmp_path):
     assert m["messages"].success_rate == 1.0
     assert m["aggregate"].rows_out > 0
     assert m["messages"].high_watermark is not None
+
+
+def test_pystrip_btrim_equivalent(spark):
+    """operators.dedup.pystrip (btrim over Java-\\s's char set) must
+    equal the regex ^\\s+|\\s+$ strip on every boundary combination of
+    the six \\s chars, plus non-ASCII whitespace it must NOT strip."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    ws = [" ", "\t", "\n", "\x0b", "\x0c", "\r", "x", ""]
+    cases = ["".join(p) + "mid dle" + "".join(q)
+             for p in itertools.product(ws, repeat=2)
+             for q in itertools.product(ws, repeat=2)]
+    cases += ["", " ", " pad ", " x "]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    from project_discord_knowledge_graph_spark.operators.dedup import pystrip
+    bad = df.select(
+        F.regexp_replace("s", r"^\s+|\s+$", "").alias("a"),
+        pystrip(F.col("s")).alias("b"),
+    ).where(F.col("a") != F.col("b")).count()
+    assert bad == 0
